@@ -1,0 +1,213 @@
+"""Tracking frontend: lazy-batched CUT3R submap tracking.
+
+Counterpart of /root/reference/hislam2/track_frontend.py. Behavior:
+
+* waits until >= SUBMAP_SIZE new keyframes, then runs CUT3R jointly on
+  KFs [t0-1, t1) — a 1-frame overlap with the previous submap
+  (track_frontend.py:285-330);
+* predictions are made first-frame-relative (``first_w2c @ pose``), the
+  new submap is scale-aligned to the previous one via the mean log-depth
+  ratio on the shared overlap frame, pointmaps are rotated into world
+  frame, and the downsampled submap pointmaps/confidences/poses/depths are
+  written back (:166-282);
+* covisibility edges are added per keyframe via reprojection overlap.
+
+TPU design: the CUT3R inference always runs at the fixed shape
+(V = SUBMAP_SIZE + 1) — shorter terminate-time batches are padded — and
+the whole post-processing (pose composition, scale alignment, pointmap
+rotation, downsampling) is one jitted program; only tiny pose vectors
+cross back to the host.
+
+Note: the reference's far-frame bidirectional overlap test projects
+half-res pointmaps with full-res intrinsics (factor_graph.py:289-315),
+undercounting the reverse overlap ~4x; we use consistently scaled
+intrinsics instead (strictly more permissive edge proposals; the NMS gate
+downstream is unchanged).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import se3_from_matrix
+from ..geometry.pointmap import geotrf, pose_vec_to_matrix
+from ..models import CUT3R, normalize_images
+from .keyframe import KeyframeStore, SUBMAP_SIZE
+from .factor_graph import FactorGraph
+
+__all__ = ["TrackFrontend", "submap_postprocess"]
+
+
+def conf_remap(conf: jax.Array) -> jax.Array:
+    """conf in (1, inf) -> (0, 1): 1 - 1/conf (track_frontend.py:193)."""
+    return 1.0 - 1.0 / conf
+
+
+@partial(jax.jit, static_argnames=("init", "ds"))
+def submap_postprocess(pred_pts_self, pred_conf_self, pred_pose_c2w,
+                       anchor_c2w, prev_depth0, init: bool, ds: int = 2):
+    """World-align one tracked submap (track_frontend.py:180-243).
+
+    pred_pts_self: (V, H, W, 3) pts3d_in_self_view; pred_conf_self (V, H, W);
+    pred_pose_c2w: (V, 4, 4) model-frame c2w; anchor_c2w: (4, 4) stored c2w
+    of the overlap KF (identity for init); prev_depth0: (H, W) stored depth
+    of the overlap KF (unused for init).
+
+    Returns (poses_c2w (V,4,4), depths (V,H,W), pts_world (V,H,W,3),
+             pts_ds, conf (V,H,W), conf_ds).
+    """
+    first_w2c = jnp.linalg.inv(pred_pose_c2w[0])
+    rel = jnp.einsum("ij,vjk->vik", first_w2c, pred_pose_c2w)  # (V,4,4)
+    conf = conf_remap(pred_conf_self)
+    depths = pred_pts_self[..., 2]
+
+    if init:
+        s = jnp.float32(1.0)
+        align_R = jnp.eye(3)
+        align_t = jnp.zeros(3)
+    else:
+        new_depth0 = depths[0]
+        log_scale = jnp.mean(jnp.log(jnp.maximum(prev_depth0, 1e-8))
+                             - jnp.log(jnp.maximum(new_depth0, 1e-8)))
+        s = jnp.exp(log_scale)
+        align_R = anchor_c2w[:3, :3]
+        align_t = anchor_c2w[:3, 3]
+
+    R = jnp.einsum("ij,vjk->vik", align_R, rel[:, :3, :3])
+    T = jnp.einsum("ij,vj->vi", align_R, s * rel[:, :3, 3]) + align_t
+    poses = jnp.broadcast_to(jnp.eye(4), rel.shape).at[:, :3, :3].set(R)
+    poses = poses.at[:, :3, 3].set(T)
+
+    pts_world = geotrf(poses[:, None, None], s * pred_pts_self)
+    depths = s * depths
+    pts_ds = pts_world[:, ::ds, ::ds]
+    conf_ds = conf[:, ::ds, ::ds]
+    return poses, depths, pts_world, pts_ds, conf, conf_ds
+
+
+class TrackFrontend:
+    def __init__(self, model: CUT3R, params, keyframes: KeyframeStore,
+                 graph: Optional[FactorGraph] = None, warmup: int = 6,
+                 downsample: int = 2, backend_min_kf: int = 10):
+        assert warmup == SUBMAP_SIZE + 1, \
+            "warmup must equal submap size + 1 (the overlap design)"
+        self.model = model
+        self.params = params
+        self.keyframes = keyframes
+        self.graph = graph or FactorGraph()
+        self.warmup = warmup
+        self.ds = downsample
+        self.backend_min_kf = backend_min_kf
+        self.is_initialized = False
+        self.t1 = 0
+        self.V = SUBMAP_SIZE + 1
+
+        @jax.jit
+        def _infer(params, imgs_u8):
+            """imgs_u8: (V, H, W, 3) -> submap predictions."""
+            x = normalize_images(imgs_u8)[:, None]  # (V, 1, H, W, 3)
+            out = model.apply(params, x)
+            pose = out["camera_pose"][:, 0]  # (V, 7) wxyz
+            from ..geometry.quaternion import wxyz_to_xyzw, quat_to_matrix
+            q = wxyz_to_xyzw(pose[:, 3:7])
+            c2w = jnp.broadcast_to(jnp.eye(4), (pose.shape[0], 4, 4))
+            c2w = c2w.at[:, :3, :3].set(quat_to_matrix(q))
+            c2w = c2w.at[:, :3, 3].set(pose[:, :3])
+            return (out["pts3d_in_self_view"][:, 0],
+                    out["conf_self"][:, 0], c2w)
+
+        self._infer = _infer
+
+    # ------------------------------------------------------------------
+    def track(self, t0: int, t1: int, init: bool = False):
+        """Track keyframes [t0, t1); t1 - t0 <= V (padded to V)."""
+        kf = self.keyframes
+        n = t1 - t0
+        assert 1 < n <= self.V
+        imgs = kf.image[t0:t1]
+        if n < self.V:  # pad with the last image; outputs ignored
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], self.V - n, 0)])
+
+        pts_self, conf_self, c2w = self._infer(self.params, jnp.asarray(imgs))
+
+        anchor_c2w = jnp.asarray(pose_vec_to_matrix(jnp.asarray(kf.pose[t0])))
+        prev_depth0 = jnp.asarray(kf.depth[t0])
+        poses, depths, pts_world, pts_ds, conf, conf_ds = submap_postprocess(
+            pts_self, conf_self, c2w, anchor_c2w, prev_depth0,
+            init=init, ds=self.ds)
+
+        # ---- writeback (host metadata + device submap buffers) ----
+        sub = t0 // SUBMAP_SIZE
+        pose_vecs = np.asarray(se3_from_matrix(poses))  # [t, q xyzw]
+        kf.pose[t0:t1] = pose_vecs[:n]
+        kf.depth[t0:t1] = np.asarray(depths[:n])
+        kf.set_submap(sub, pts_ds[:n], conf_ds[:n],
+                      slot0=0)
+        # per-KF half-res pointmaps for the factor graph
+        if not hasattr(kf, "pts_ds"):
+            h, w = pts_ds.shape[1:3]
+            kf.pts_ds = jnp.zeros((kf.capacity, h, w, 3), jnp.float32)
+        for i in range(t0, t1):
+            kf.pts_ds = jax.lax.dynamic_update_index_in_dim(
+                kf.pts_ds, pts_ds[i - t0], i, 0)
+
+        # ---- covisibility graph ----
+        if init:
+            self.graph.add_neighborhood_factors(0, min(3, t1), r=3)
+        K4 = kf.intrinsic.copy() / self.ds  # scaled intrinsics
+        c2w_all = pose_vec_to_matrix_np(kf.pose)
+        for i in range(t0, t1):
+            if not init:
+                self.graph.add_neighborhood_factors(max(i - 3, 0), i + 1, r=3)
+            if i > 2:
+                self.graph.add(i, c2w_all, kf.pts_ds, K4=K4[i],
+                               valid_count=i + 1)
+        return poses
+
+    # ------------------------------------------------------------------
+    def run(self, tstamp: int, last_frame: bool = False
+            ) -> Tuple[bool, Optional[range], Optional[int]]:
+        """Per-frame trigger (track_frontend.py:285-330).
+
+        Returns (run_backend, new_kf_range, submap_idx).
+        """
+        kf = self.keyframes
+        if not self.is_initialized and kf.count - 1 == self.warmup:
+            t1 = kf.count - 1
+            self.track(0, t1, init=True)
+            self.is_initialized = True
+            self.t1 = t1
+            return False, range(0, t1), 0
+
+        if self.is_initialized and self.t1 < kf.count - SUBMAP_SIZE:
+            t0 = self.t1 - 1
+            t1 = kf.count - 1
+            self.track(t0, t1)
+            self.t1 = t1
+            return (t1 > self.backend_min_kf), range(t0, t1), t0 // SUBMAP_SIZE
+
+        if last_frame and self.is_initialized and kf.count - 1 > self.t1:
+            t0 = self.t1 - 1
+            t1 = kf.count - 1
+            self.track(t0, t1)
+            self.t1 = t1
+            return False, range(t0, t1), t0 // SUBMAP_SIZE
+
+        return False, None, None
+
+
+def pose_vec_to_matrix_np(pose_vecs: np.ndarray) -> np.ndarray:
+    """Host-side [t, q xyzw] -> (N, 4, 4) without a device round trip."""
+    from scipy.spatial.transform import Rotation
+    out = np.tile(np.eye(4, dtype=np.float32), (len(pose_vecs), 1, 1))
+    q = pose_vecs[:, 3:7]
+    norms = np.linalg.norm(q, axis=1, keepdims=True)
+    q = np.where(norms > 1e-8, q / np.maximum(norms, 1e-8),
+                 np.array([0, 0, 0, 1.0], np.float32))
+    out[:, :3, :3] = Rotation.from_quat(q).as_matrix()
+    out[:, :3, 3] = pose_vecs[:, :3]
+    return out

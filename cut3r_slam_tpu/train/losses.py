@@ -1,0 +1,117 @@
+"""Training losses for CUT3R: Regr3DPose + ConfLoss + RGB.
+
+JAX counterparts of /root/reference/src/dust3r/losses.py (Regr3DPose :287,
+ConfLoss :1047, RGBLoss): anchor-view-0 pointmap regression with average-
+distance normalization of both prediction and ground truth, confidence
+weighting ``conf * l - alpha * log(conf)``, and pose translation/rotation
+terms. Written as pure functions over stacked view tensors (V, B, ...)
+so the whole loss jits into the training step.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.quaternion import wxyz_to_xyzw, quat_rotate, quat_conjugate
+from ..geometry.pointmap import geotrf
+
+__all__ = ["regr3d_pose_loss", "conf_loss", "rgb_loss", "cut3r_total_loss"]
+
+
+def _avg_dis_norm(pts: jax.Array, valid: jax.Array, eps: float = 1e-8):
+    """Average-distance normalization factor (losses.py normalize_pointcloud
+    'avg_dis' mode): mean norm over valid points, per batch element.
+
+    pts: (V, B, H, W, 3); valid: (V, B, H, W). Returns (B,) factor.
+    """
+    dis = jnp.linalg.norm(pts, axis=-1)
+    m = valid.astype(pts.dtype)
+    tot = jnp.sum(dis * m, axis=(0, 2, 3))
+    cnt = jnp.maximum(jnp.sum(m, axis=(0, 2, 3)), 1.0)
+    return jnp.maximum(tot / cnt, eps)
+
+
+def regr3d_pose_loss(pred: Dict[str, jax.Array], gt: Dict[str, jax.Array],
+                     ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
+    """Per-pixel regression distances for self & cross pointmaps + pose terms.
+
+    pred: dict with pts3d_in_self_view / pts3d_in_other_view (V,B,H,W,3)
+          and camera_pose (V,B,7 wxyz).
+    gt:   dict with pts3d (V,B,H,W,3) world frame, camera_pose (V,B,4,4)
+          c2w matrices, valid_mask (V,B,H,W).
+
+    Returns (l_self, l_cross, aux) where l_* are (V,B,H,W) distances after
+    normalization and aux holds pose losses.
+    """
+    c2w = gt["camera_pose"]  # (V, B, 4, 4)
+    w2c = jnp.linalg.inv(c2w)
+    in_cam0 = jnp.linalg.inv(c2w[0])  # (B, 4, 4) anchor view
+    # gt in each view's own camera / in anchor camera
+    gt_self = geotrf(w2c[:, :, None, None], gt["pts3d"])
+    gt_cross = geotrf(in_cam0[None, :, None, None], gt["pts3d"])
+    valid = gt["valid_mask"]
+
+    pr_self = pred["pts3d_in_self_view"]
+    pr_cross = pred["pts3d_in_other_view"]
+
+    # normalize both point clouds by their own avg distance (norm_mode=avg_dis
+    # over the self+cross concatenation, losses.py:319-332)
+    pr_all = jnp.concatenate([pr_self, pr_cross], axis=2)
+    gt_all = jnp.concatenate([gt_self, gt_cross], axis=2)
+    valid2 = jnp.concatenate([valid, valid], axis=2)
+    nf_pr = _avg_dis_norm(pr_all, valid2)[None, :, None, None, None]
+    nf_gt = _avg_dis_norm(gt_all, valid2)[None, :, None, None, None]
+
+    l_self = jnp.linalg.norm(pr_self / nf_pr - gt_self / nf_gt, axis=-1)
+    l_cross = jnp.linalg.norm(pr_cross / nf_pr - gt_cross / nf_gt, axis=-1)
+
+    # pose terms: predicted c2w (in anchor frame) vs gt relative pose
+    gt_rel = jnp.einsum("bij,vbjk->vbik", in_cam0, c2w)  # anchor-relative c2w
+    gt_t = gt_rel[..., :3, 3]
+    pr_t = pred["camera_pose"][..., :3]
+    nf_gt_t = jnp.maximum(jnp.linalg.norm(gt_t, axis=-1).mean(0), 1e-8)
+    nf_pr_t = jnp.maximum(jnp.linalg.norm(pr_t, axis=-1).mean(0), 1e-8)
+    l_trans = jnp.linalg.norm(pr_t / nf_pr_t[None, :, None]
+                              - gt_t / nf_gt_t[None, :, None], axis=-1)
+
+    # quaternion distance: 1 - |<q_pred, q_gt>|
+    from ..geometry.quaternion import matrix_to_quat
+    q_gt = matrix_to_quat(gt_rel[..., :3, :3])
+    q_pr = wxyz_to_xyzw(pred["camera_pose"][..., 3:7])
+    l_quat = 1.0 - jnp.abs(jnp.sum(q_gt * q_pr, axis=-1))
+
+    aux = {"loss_trans": l_trans.mean(), "loss_quat": l_quat.mean()}
+    return l_self, l_cross, aux
+
+
+def conf_loss(l: jax.Array, conf: jax.Array, valid: jax.Array,
+              alpha: float = 0.2) -> jax.Array:
+    """ConfLoss (losses.py:1047): mean over valid of conf*l - alpha*log(conf).
+
+    conf is the activated confidence (>1); log(conf) >= 0.
+    """
+    log_conf = jnp.log(conf)
+    per_pix = conf * l - alpha * log_conf
+    m = valid.astype(l.dtype)
+    return jnp.sum(per_pix * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def rgb_loss(pred_rgb: jax.Array, gt_img: jax.Array, valid: jax.Array) -> jax.Array:
+    m = valid.astype(pred_rgb.dtype)[..., None]
+    return jnp.sum(jnp.abs(pred_rgb - gt_img) * m) / jnp.maximum(jnp.sum(m) * 3, 1.0)
+
+
+def cut3r_total_loss(pred: Dict[str, jax.Array], gt: Dict[str, jax.Array],
+                     alpha: float = 0.2, pose_weight: float = 1.0,
+                     rgb_weight: float = 1.0) -> Tuple[jax.Array, Dict]:
+    l_self, l_cross, aux = regr3d_pose_loss(pred, gt)
+    valid = gt["valid_mask"]
+    loss = (conf_loss(l_self, pred["conf_self"], valid, alpha)
+            + conf_loss(l_cross, pred["conf"], valid, alpha)
+            + pose_weight * (aux["loss_trans"] + aux["loss_quat"]))
+    if "rgb" in pred and "img" in gt:
+        loss = loss + rgb_weight * rgb_loss(pred["rgb"], gt["img"], valid)
+    aux["total"] = loss
+    return loss, aux

@@ -1,0 +1,62 @@
+"""Jitted CUT3R training step (data-parallel / FSDP over a Mesh).
+
+Replaces the reference's Accelerate-DDP trainer step (src/train.py:109-916):
+under `jit` with sharded params/batch, XLA inserts the gradient psums
+(DDP's all-reduce) or reduce-scatters (FSDP) over ICI automatically.
+TBPTT chunking (inference.py:90-216) maps to the `lax.scan` recurrence
+already inside the model; gradient flow across the scan carry is the
+full-backprop variant, with `jax.checkpoint` available for memory.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import CUT3R
+from .losses import cut3r_total_loss
+
+__all__ = ["make_optimizer", "make_train_step", "init_train_state"]
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.05,
+                   warmup_steps: int = 100, total_steps: int = 100_000):
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=weight_decay),
+    )
+
+
+def init_train_state(model: CUT3R, rng, sample_batch, tx):
+    params = model.init(rng, sample_batch["imgs"])
+    opt_state = tx.init(params)
+    return params, opt_state
+
+
+def make_train_step(model: CUT3R, tx):
+    """Returns a jittable (params, opt_state, batch) -> (params, opt_state, aux).
+
+    batch: imgs (V,B,H,W,3) in [-1,1]; pts3d (V,B,H,W,3) world;
+    camera_pose (V,B,4,4) c2w; valid_mask (V,B,H,W); img optional.
+    """
+
+    def loss_fn(params, batch):
+        pred = model.apply(params, batch["imgs"])
+        gt = {"pts3d": batch["pts3d"], "camera_pose": batch["camera_pose"],
+              "valid_mask": batch["valid_mask"]}
+        if "img" in batch:
+            gt["img"] = batch["img"]
+        return cut3r_total_loss(pred, gt)
+
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return train_step
