@@ -90,11 +90,15 @@ class FactorGraph:
     # ------------------------------------------------------------------
     def add_factors(self, ii, jj):
         """Append edges, dropping duplicates (factor_graph.py:59-117)."""
-        ii = np.atleast_1d(np.asarray(ii, np.int64))
-        jj = np.atleast_1d(np.asarray(jj, np.int64))
+        ii = np.atleast_1d(np.asarray(ii, np.int64)).reshape(-1)
+        jj = np.atleast_1d(np.asarray(jj, np.int64)).reshape(-1)
         existing = set(zip(self.ii.tolist(), self.jj.tolist()))
-        keep = [k for k in range(len(ii))
-                if (ii[k], jj[k]) not in existing and ii[k] != jj[k]]
+        keep = []
+        for k in range(len(ii)):
+            e = (int(ii[k]), int(jj[k]))
+            if e not in existing and e[0] != e[1]:
+                existing.add(e)
+                keep.append(k)
         if not keep:
             return
         ii, jj = ii[keep], jj[keep]

@@ -83,11 +83,11 @@ def test_frontend_init_and_submap(setup):
     # submap pointmaps written at half res
     assert float(jnp.abs(kf.submap_pts[0]).max()) > 0
 
-    # steady-state: 5 more KFs -> second submap with scale alignment
+    # steady-state: 5 more KFs -> second submap (re-tracks overlap KF t0=5)
     kf.count = 2 * SUBMAP_SIZE + 2
     rb, rng2, sub2 = fe.run(1)
-    assert rng2 == range(SUBMAP_SIZE + 1, 2 * SUBMAP_SIZE + 1)
-    assert sub2 == (SUBMAP_SIZE + 1 - 1) // SUBMAP_SIZE == 1
+    assert rng2 == range(SUBMAP_SIZE, 2 * SUBMAP_SIZE + 1)
+    assert sub2 == SUBMAP_SIZE // SUBMAP_SIZE == 1
     depths = kf.depth[:2 * SUBMAP_SIZE + 1]
     assert np.all(np.isfinite(depths))
 
