@@ -114,7 +114,9 @@ def depth_to_normal(depth: jax.Array, intrinsics: jax.Array) -> jax.Array:
     dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dy = pts[1:-1, 2:] - pts[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    # eps inside the sqrt: jnp.linalg.norm has a NaN gradient at exactly 0,
+    # which empty-depth pixels would inject into every mapping loss
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     out = jnp.zeros_like(pts)
     out = out.at[1:-1, 1:-1].set(n)
     return out

@@ -141,9 +141,13 @@ def _preprocess(means, quats, scales, opacities, K4, cfg: RasterizeConfig):
     # direction dominates (the reference's outer(e_min, e_min) fallback).
     # eigh is avoided because its gradient NaNs on degenerate spectra
     # (isotropic Gaussians).
+    # trace-normalize first: only the normalized direction of Vrk_inv·uvh
+    # matters, and raw determinants of tiny Gaussians ((1e-4)^6 ~ 1e-24)
+    # overflow 1/det^2 in the backward pass
     tr = Vrk[:, 0, 0] + Vrk[:, 1, 1] + Vrk[:, 2, 2]
-    ridge = (1e-9 * tr + 1e-20)[:, None, None] * jnp.eye(3, dtype=means.dtype)
-    Vrk_r = Vrk + ridge
+    Vrk_n = Vrk / jnp.maximum(tr, 1e-20)[:, None, None]
+    ridge = 1e-6 * jnp.eye(3, dtype=means.dtype)
+    Vrk_r = Vrk_n + ridge
     # adjugate-based 3x3 inverse (differentiable everywhere)
     adj = jnp.stack([
         Vrk_r[:, 1, 1] * Vrk_r[:, 2, 2] - Vrk_r[:, 1, 2] * Vrk_r[:, 2, 1],
@@ -157,12 +161,12 @@ def _preprocess(means, quats, scales, opacities, K4, cfg: RasterizeConfig):
         Vrk_r[:, 0, 0] * Vrk_r[:, 1, 1] - Vrk_r[:, 0, 1] * Vrk_r[:, 1, 0],
     ], axis=-1).reshape(-1, 3, 3)
     det3 = jnp.einsum("pi,pi->p", Vrk_r[:, 0], adj[:, :, 0])
-    Vrk_inv = adj / jnp.maximum(det3, 1e-30)[:, None, None]
+    Vrk_inv = adj / jnp.maximum(det3, 1e-12)[:, None, None]
 
     uvh = jnp.stack([txtz, tytz, jnp.ones_like(txtz)], axis=-1)
     uvh_m = jnp.einsum("pij,pj->pi", Vrk_inv, uvh)
-    uvh_mn = uvh_m / jnp.maximum(
-        jnp.linalg.norm(uvh_m, axis=-1, keepdims=True), 1e-12)
+    uvh_mn = uvh_m / jnp.sqrt(
+        jnp.sum(uvh_m * uvh_m, axis=-1, keepdims=True) + 1e-24)
 
     u2 = txtz * txtz
     v2 = tytz * tytz
@@ -197,8 +201,8 @@ def _preprocess(means, quats, scales, opacities, K4, cfg: RasterizeConfig):
         rn1 / tz_safe + (-1.0) * ty / t_norm,
         -(tx * rn0 + ty * rn1) / z2 + (-1.0) * tz_safe / t_norm,
     ], axis=-1)
-    normal = n_cam / jnp.maximum(
-        jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-12)
+    normal = n_cam / jnp.sqrt(
+        jnp.sum(n_cam * n_cam, axis=-1, keepdims=True) + 1e-24)
 
     valid = valid & (det1 > 1e-6)
     radius = jnp.where(valid, radius, 0.0)
@@ -446,9 +450,10 @@ def rasterize(means_cam: jax.Array, quats_wxyz: jax.Array, scales: jax.Array,
     coord = jnp.where(anyc2[..., None], _untile(Coordsum, cfg) / w_safe[..., None], 0.0)
     mcoord = _untile(mCoord, cfg)
     nsum = _untile(Nsum, cfg)
-    nlen = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
-    normal = jnp.where(anyc2[..., None],
-                       nsum / jnp.maximum(nlen, NORMALIZE_EPS), 0.0)
+    # eps inside sqrt: norm() has NaN grad at 0 (empty pixels)
+    nlen = jnp.sqrt(jnp.sum(nsum * nsum, axis=-1, keepdims=True)
+                    + NORMALIZE_EPS ** 2)
+    normal = jnp.where(anyc2[..., None], nsum / nlen, 0.0)
 
     return {
         "color": color, "alpha": alpha, "depth": depth, "mdepth": mdepth,

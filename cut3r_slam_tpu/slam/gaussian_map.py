@@ -107,7 +107,8 @@ class GaussianArena:
 @partial(jax.jit, donate_argnums=0, static_argnames=())
 def seed_from_pointmap(arena: GaussianArena, points: jax.Array,
                        colors: jax.Array, conf_mask: jax.Array,
-                       kf_id: jax.Array) -> Tuple[GaussianArena, jax.Array]:
+                       kf_id: jax.Array
+                       ) -> Tuple[GaussianArena, jax.Array, jax.Array]:
     """Insert Gaussians for one keyframe's confident pixels.
 
     points: (M, 3) world; colors: (M, 3) in [0,1]; conf_mask: (M,) bool.
@@ -160,7 +161,7 @@ def seed_from_pointmap(arena: GaussianArena, points: jax.Array,
         grad_accum_abs=jnp.where(slot_is_used, 0, arena.grad_accum_abs),
         denom=jnp.where(slot_is_used, 0, arena.denom),
         max_radii=jnp.where(slot_is_used, 0, arena.max_radii))
-    return arena, n_ins
+    return arena, n_ins, slot_is_used
 
 
 # ---------------------------------------------------------------------------

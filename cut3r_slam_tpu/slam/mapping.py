@@ -1,0 +1,571 @@
+"""Gaussian mapping backend (per-frame variant).
+
+Counterpart of /root/reference/hislam2/gs_backend_per_frame.py (GSBackEnd).
+Host code only orchestrates; every optimization loop is a single jitted
+`lax.scan` with static shapes:
+
+* ``pose_refine`` (:202-326): 50 Adam iterations on one view's se3 deltas;
+  loss = 5·ratio·L1_rgb[alpha>th] + ratio·var(log d − log d_gt) +
+  0.05·(2−ratio)·‖δ‖²; afterwards the gt depth is scale-corrected
+  (clamp [0.95, 1.05]) and reprojected to world for Gaussian seeding.
+* ``optimization`` (:451-594): windowed mapping, window padded to a fixed
+  size with per-view weights; RGB 0.8·L1+0.2·(1−SSIM), inverse-depth L1,
+  depth-normal consistency, isotropic regularization, per-view exposure.
+* ``global_BA`` (:946-1058): one random view per iteration in fixed-length
+  jitted segments; densification stats accumulate on-device and
+  densify_and_prune runs between segments.
+* ``gaussian_update`` (:701-774): loop-closure rigid SE3 transform of all
+  Gaussians belonging to the corrected submaps (mask by kf_id — no
+  prune/cat/optimizer surgery needed in the arena design; Adam moments of
+  moved Gaussians are zeroed like the reference's rebuild).
+
+The Gaussian optimizer is a hand-rolled Adam over the arena param dict
+with the reference's per-group learning rates and an exponential position
+schedule, so moments can be masked/reset at reallocated slots.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.gs_raster import RasterizeConfig
+from ..ops.ssim import ssim
+from ..geometry.pointmap import depth_to_normal, depth_to_pointmap
+from ..geometry.lie import se3_matrix
+from ..geometry.quaternion import quat_normalize
+from .camera import CameraBuffer, se3_delta_to_matrix
+from .gaussian_map import GaussianArena, seed_from_pointmap, densify_and_prune
+from .renderer import render_view, _quat_mult_wxyz
+
+__all__ = ["MappingConfig", "MappingBackend"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    height: int
+    width: int
+    capacity: int = 2 ** 18          # Gaussian arena slots
+    cam_capacity: int = 512
+    window_size: int = 10
+    pose_refine_iters: int = 50
+    pose_lr: float = 0.0003
+    exposure_lr: float = 0.001
+    lambda_depth: float = 0.5
+    lambda_normal: float = 0.05
+    lambda_iso: float = 10.0
+    position_lr: float = 0.00016
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.001
+    rotation_lr: float = 0.001
+    densify_grad_threshold: float = 0.0002
+    opacity_threshold: float = 0.005
+    gba_segment: int = 50
+    alpha_th: float = 0.5
+    downsample: int = 2
+    max_per_tile: int = 512
+    kernel_size: float = 0.1
+    compensate_exposure: bool = True
+
+
+def _mask_grads(grads, alive):
+    """Zero gradients of dead arena slots — their forward is masked but
+    the preprocess math on zeroed params produces NaN cotangents."""
+    def f(g):
+        return jnp.where(alive.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0)
+    return jax.tree.map(f, grads)
+
+
+def _adam_init(params):
+    return (jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, params), jnp.zeros((), jnp.int32))
+
+
+def _adam_step(params, grads, state, lrs, b1=0.9, b2=0.999, eps=1e-8):
+    m, v, t = state
+    t = t + 1
+    m = jax.tree.map(lambda a, g: b1 * a + (1 - b1) * g, m, grads)
+    v = jax.tree.map(lambda a, g: b2 * a + (1 - b2) * g * g, v, grads)
+    bc1 = 1 - b1 ** t.astype(jnp.float32)
+    bc2 = 1 - b2 ** t.astype(jnp.float32)
+
+    def upd(p, mm, vv, lr):
+        return p - lr * (mm / bc1) / (jnp.sqrt(vv / bc2) + eps)
+
+    params = {k: upd(params[k], m[k], v[k], lrs[k]) for k in params}
+    return params, (m, v, t)
+
+
+class MappingBackend:
+    def __init__(self, cfg: MappingConfig, K4: np.ndarray):
+        self.cfg = cfg
+        self.K4 = jnp.asarray(K4, jnp.float32)
+        self.raster_cfg = RasterizeConfig(
+            height=cfg.height, width=cfg.width,
+            max_per_tile=cfg.max_per_tile, kernel_size=cfg.kernel_size)
+        self.arena = GaussianArena.empty(cfg.capacity)
+        self.adam = _adam_init(self.arena.params())
+        self.cams = CameraBuffer.empty(cfg.cam_capacity, cfg.height, cfg.width)
+        self.current_window: List[int] = []
+        self.initialized = False
+        self._rng = jax.random.PRNGKey(0)
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _lrs(self):
+        c = self.cfg
+        return {"xyz": c.position_lr, "f_dc": c.feature_lr,
+                "opacity_logit": c.opacity_lr, "log_scales": c.scaling_lr,
+                "quat": c.rotation_lr}
+
+    def _build_jits(self):
+        cfg = self.cfg
+        rcfg = self.raster_cfg
+        K4 = self.K4
+        W_SIZE = cfg.window_size
+        alpha_th = cfg.alpha_th
+
+        # ------------------------- pose refine -------------------------
+        def pose_refine_loss(deltas, params, alive, image, depth_gt, w2c):
+            out = render_view(params, alive, w2c, K4, rcfg,
+                              trans_delta=deltas["t"], rot_delta=deltas["r"])
+            img = out["color"]
+            d = out["depth"]
+            a = out["alpha"]
+            amask = jax.lax.stop_gradient(a > alpha_th)
+            ratio = amask.mean()
+            rgb_l = jnp.abs((image - img) * amask[..., None]).sum() \
+                / jnp.maximum(amask.sum() * 3, 1.0)
+            dmask = amask & (depth_gt > 1e-3) & (d > 1e-3)
+            diff = jnp.where(dmask, jnp.log(jnp.maximum(d, 1e-6))
+                             - jnp.log(jnp.maximum(depth_gt, 1e-6)), 0.0)
+            n = jnp.maximum(dmask.sum(), 1.0)
+            mean = diff.sum() / n
+            var = (diff * diff).sum() / n - mean * mean
+            pose_l = (deltas["r"] ** 2).sum() + (deltas["t"] ** 2).sum()
+            return 5 * ratio * rgb_l + ratio * var \
+                + 0.05 * (2 - ratio) * pose_l
+
+        def pose_refine(params, alive, image, depth_gt, w2c):
+            deltas = {"t": jnp.zeros(3), "r": jnp.zeros(3)}
+            lrs = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
+            adam = _adam_init(deltas)
+
+            def step(carry, _):
+                deltas, adam = carry
+                g = jax.grad(pose_refine_loss)(deltas, params, alive, image,
+                                               depth_gt, w2c)
+                deltas, adam = _adam_step(deltas, g, adam, lrs)
+                return (deltas, adam), None
+
+            (deltas, _), _ = jax.lax.scan(step, (deltas, adam), None,
+                                          length=cfg.pose_refine_iters)
+            new_w2c = se3_delta_to_matrix(deltas["t"], deltas["r"]) @ w2c
+
+            # return-args pass (:286-326): scale-corrected gt depth + world
+            # pointmap + low-alpha validity mask for seeding
+            out = render_view(params, alive, new_w2c, K4, rcfg)
+            a = out["alpha"]
+            d = out["depth"]
+            amask = (a > alpha_th) & (depth_gt > 1e-3) & (d > 1e-3)
+            ratio = (a > alpha_th).mean()
+            diff = jnp.where(amask, jnp.log(jnp.maximum(d, 1e-6))
+                             - jnp.log(jnp.maximum(depth_gt, 1e-6)), 0.0)
+            scale = jnp.exp(diff.sum() / jnp.maximum(amask.sum(), 1.0))
+            scale = jnp.where(ratio > 0.3, jnp.clip(scale, 0.95, 1.05), 1.0)
+            gt_scaled = scale * depth_gt
+            valid = (a <= alpha_th) & (depth_gt > 1e-3)
+            c2w = jnp.linalg.inv(new_w2c)
+            pointmap = depth_to_pointmap(gt_scaled, K4, c2w=c2w)
+            return new_w2c, gt_scaled, pointmap, valid
+
+        self._pose_refine = jax.jit(pose_refine)
+
+        # ------------------------- mapping window ----------------------
+        def window_loss(params, pose_deltas, exposure, alive, images,
+                        depths_gt, w2c_base, weights, optimize_pose):
+            def per_view(i):
+                td = pose_deltas["t"][i] if optimize_pose else jnp.zeros(3)
+                rd = pose_deltas["r"][i] if optimize_pose else jnp.zeros(3)
+                probe = jnp.zeros((params["xyz"].shape[0], 2))
+                out = render_view(params, alive, w2c_base[i], K4, rcfg,
+                                  trans_delta=td, rot_delta=rd,
+                                  means2d_probe=probe)
+                img = out["color"]
+                if cfg.compensate_exposure:
+                    img = img @ exposure["a"][i] + exposure["b"][i]
+                gt = images[i]
+                d = out["depth"]
+                gt_d = depths_gt[i]
+                rgb_l = 0.8 * jnp.abs(gt - img).mean() + 0.2 * (1 - ssim(img, gt))
+                dmask = jax.lax.stop_gradient((gt_d > 1e-3) & (d > 1e-3))
+                inv_d = jnp.where(dmask, 1.0 / jnp.maximum(d, 1e-6)
+                                  - 1.0 / jnp.maximum(gt_d, 1e-6), 0.0)
+                depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
+                dn = depth_to_normal(d, K4)
+                gdn = depth_to_normal(gt_d, K4)
+                norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
+                    / jnp.maximum(dmask.sum(), 1.0)
+                scales = jnp.exp(params["log_scales"])
+                vis = out["visibility"]
+                iso = (jnp.abs(scales - scales.mean(1, keepdims=True)).mean(1)
+                       * vis).sum() / jnp.maximum(vis.sum(), 1.0)
+                loss = (rgb_l + cfg.lambda_depth * depth_l
+                        + cfg.lambda_normal * norm_l + cfg.lambda_iso * iso)
+                return loss, out["radii"], vis
+
+            losses, radii, vis = jax.vmap(per_view)(jnp.arange(W_SIZE))
+            total = (losses * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+            return total, (radii, vis)
+
+        def optimize(arena: GaussianArena, adam, cams: CameraBuffer,
+                     window_idx, weights, iters: int, optimize_pose: bool):
+            params = arena.params()
+            images = cams.image[window_idx].astype(jnp.float32) / 255.0
+            depths_gt = cams.depth[window_idx].astype(jnp.float32)
+            w2c = cams.w2c[window_idx]
+            pose_deltas = {"t": jnp.zeros((W_SIZE, 3)),
+                           "r": jnp.zeros((W_SIZE, 3))}
+            exposure = {"a": cams.exposure_a[window_idx],
+                        "b": cams.exposure_b[window_idx]}
+            pd_adam = _adam_init(pose_deltas)
+            ex_adam = _adam_init(exposure)
+            lrs_pd = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
+            lrs_ex = {"a": cfg.exposure_lr, "b": cfg.exposure_lr}
+
+            def step(carry, _):
+                params, adam, pose_deltas, pd_adam, exposure, ex_adam, w2c = carry
+                (loss, _aux), grads = jax.value_and_grad(
+                    window_loss, argnums=(0, 1, 2), has_aux=True)(
+                    params, pose_deltas, exposure, arena.alive, images,
+                    depths_gt, w2c, weights, optimize_pose)
+                gp, gd, ge = grads
+                gp = _mask_grads(gp, arena.alive)
+                params, adam = _adam_step(params, gp, adam, self._lrs())
+                if optimize_pose:
+                    pose_deltas, pd_adam = _adam_step(pose_deltas, gd,
+                                                      pd_adam, lrs_pd)
+                    # update_pose: fold deltas into w2c and zero them
+                    M = jax.vmap(se3_delta_to_matrix)(pose_deltas["t"],
+                                                      pose_deltas["r"])
+                    w2c = jnp.einsum("vij,vjk->vik", M, w2c)
+                    pose_deltas = jax.tree.map(jnp.zeros_like, pose_deltas)
+                    if cfg.compensate_exposure:
+                        exposure, ex_adam = _adam_step(exposure, ge,
+                                                       ex_adam, lrs_ex)
+                return (params, adam, pose_deltas, pd_adam, exposure,
+                        ex_adam, w2c), loss
+
+            carry = (params, adam, pose_deltas, pd_adam, exposure, ex_adam, w2c)
+            carry, losses = jax.lax.scan(step, carry, None, length=iters)
+            params, adam, _, _, exposure, _, w2c = carry
+            return params, adam, w2c, exposure, losses[-1]
+
+        self._optimize = jax.jit(optimize,
+                                 static_argnames=("iters", "optimize_pose"))
+
+        # ------------------------- global BA segment -------------------
+        def gba_segment(arena: GaussianArena, adam, cams: CameraBuffer,
+                        view_idx, rng):
+            params = arena.params()
+            stats = (arena.grad_accum, arena.grad_accum_abs, arena.denom,
+                     arena.max_radii)
+
+            def one_iter(carry, vi):
+                params, adam, stats = carry
+                ga, gaa, den, mr = stats
+                image = cams.image[vi].astype(jnp.float32) / 255.0
+                depth_gt = cams.depth[vi].astype(jnp.float32)
+                w2c = cams.w2c[vi]
+                expa = cams.exposure_a[vi]
+                expb = cams.exposure_b[vi]
+
+                def loss_fn(params, probe):
+                    out = render_view(params, arena.alive, w2c, K4, rcfg,
+                                      means2d_probe=probe)
+                    img = out["color"] @ expa + expb
+                    d = out["depth"]
+                    rgb_l = 0.8 * jnp.abs(image - img).mean() \
+                        + 0.2 * (1 - ssim(img, image))
+                    dmask = jax.lax.stop_gradient((depth_gt > 1e-3) & (d > 1e-3))
+                    inv_d = jnp.where(dmask, 1.0 / jnp.maximum(d, 1e-6)
+                                      - 1.0 / jnp.maximum(depth_gt, 1e-6), 0.0)
+                    depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
+                    dn = depth_to_normal(d, K4)
+                    gdn = depth_to_normal(depth_gt, K4)
+                    norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
+                        / jnp.maximum(dmask.sum(), 1.0)
+                    rn = out["normal"]
+                    rn_l = ((1 - (rn * gdn).sum(-1)) * dmask).sum() \
+                        / jnp.maximum(dmask.sum(), 1.0)
+                    scales = jnp.exp(params["log_scales"])
+                    vis = out["visibility"]
+                    iso = (jnp.abs(scales - scales.mean(1, keepdims=True)
+                                   ).mean(1) * vis).sum() \
+                        / jnp.maximum(vis.sum(), 1.0)
+                    loss = (rgb_l + cfg.lambda_depth / 10 * depth_l
+                            + cfg.lambda_normal * (norm_l + rn_l)
+                            + cfg.lambda_iso * iso)
+                    return loss, (out["radii"], vis)
+
+                probe = jnp.zeros((params["xyz"].shape[0], 2))
+                (loss, (radii, vis)), (gp, gprobe) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(params, probe)
+                gp = _mask_grads(gp, arena.alive)
+                gprobe = jnp.where(arena.alive[:, None], gprobe, 0.0)
+                params, adam = _adam_step(params, gp, adam, self._lrs())
+                # densification stats (gaussian_model.py:779-783); the
+                # probe grad xy-norm feeds grad_accum, its magnitude also
+                # feeds the abs channel (z-components unused in our
+                # rasterizer: both use the screen-space grad norm)
+                gnorm = jnp.linalg.norm(gprobe, axis=-1)
+                ga = ga + jnp.where(vis, gnorm, 0.0)
+                gaa = gaa + jnp.where(vis, gnorm, 0.0)
+                den = den + vis.astype(jnp.float32)
+                mr = jnp.maximum(mr, jnp.where(vis, radii, 0.0))
+                return (params, adam, (ga, gaa, den, mr)), loss
+
+            (params, adam, stats), losses = jax.lax.scan(
+                one_iter, (params, adam, stats), view_idx)
+            arena = arena.with_params(params)
+            arena = dataclasses.replace(
+                arena, grad_accum=stats[0], grad_accum_abs=stats[1],
+                denom=stats[2], max_radii=stats[3])
+            return arena, adam, losses.mean()
+
+        self._gba_segment = jax.jit(gba_segment)
+
+        # ------------------------- LC rigid update ---------------------
+        def lc_transform(arena: GaussianArena, adam, submap_ids, pose_upd):
+            """Rigidly move Gaussians of the listed submaps (:701-774).
+
+            submap_ids: (S,) int; pose_upd: (S, 7) SE3 [t, q xyzw] per submap.
+            """
+            match = arena.kf_id[:, None] == submap_ids[None, :]  # (N, S)
+            sel = match.any(-1) & arena.alive
+            which = jnp.argmax(match, axis=-1)
+            T = se3_matrix(jnp.concatenate(
+                [pose_upd[:, :3], quat_normalize(pose_upd[:, 3:7])], -1))
+            Tg = T[which]  # (N, 4, 4)
+            new_xyz = jnp.einsum("nij,nj->ni", Tg[:, :3, :3], arena.xyz) \
+                + Tg[:, :3, 3]
+            from ..geometry.quaternion import matrix_to_quat, xyzw_to_wxyz
+            qrot = xyzw_to_wxyz(matrix_to_quat(Tg[:, :3, :3]))
+            new_quat = _quat_mult_wxyz(qrot, quat_normalize(arena.quat))
+            arena = dataclasses.replace(
+                arena,
+                xyz=jnp.where(sel[:, None], new_xyz, arena.xyz),
+                quat=jnp.where(sel[:, None], new_quat, arena.quat))
+            # zero Adam moments of moved gaussians (reference rebuilds them)
+            m, v, t = adam
+            m = jax.tree.map(lambda x: jnp.where(
+                sel.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x), m)
+            v = jax.tree.map(lambda x: jnp.where(
+                sel.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x), v)
+            return arena, (m, v, t)
+
+        self._lc_transform = jax.jit(lc_transform)
+
+        # ------------------------- data update -------------------------
+        def render_for_update(arena: GaussianArena, cams: CameraBuffer, vi):
+            params = arena.params()
+            out = render_view(params, arena.alive, cams.w2c[vi], K4, rcfg)
+            d = out["depth"]
+            a = out["alpha"]
+            gt = cams.depth[vi].astype(jnp.float32)
+            vmask = (d > 1e-3) & (gt > 1e-3) & (a > 0.9)
+            diff = jnp.where(vmask, jnp.log(jnp.maximum(d, 1e-6))
+                             - jnp.log(jnp.maximum(gt, 1e-6)), 0.0)
+            scale = jnp.exp(diff.sum() / jnp.maximum(vmask.sum(), 1.0))
+            scale = jnp.clip(scale, 0.95, 1.05)
+            gt_scaled = scale * gt
+            c2w = jnp.linalg.inv(cams.w2c[vi])
+            pointmap = depth_to_pointmap(gt_scaled, K4, c2w=c2w)
+            return gt_scaled, pointmap, c2w
+
+        self._render_for_update = jax.jit(render_for_update)
+
+    # ==================================================================
+    # host orchestration
+    # ==================================================================
+    def add_keyframe(self, idx: int, image_u8: np.ndarray, depth: np.ndarray,
+                     w2c: np.ndarray):
+        self.cams = self.cams.add(idx, jnp.asarray(image_u8),
+                                  jnp.asarray(depth), jnp.asarray(w2c))
+
+    def seed(self, idx: int, pointmap, colors, conf_mask, submap_idx: int):
+        """extend_from_pcd_seq equivalent for one keyframe."""
+        self.arena, n, used = seed_from_pointmap(
+            self.arena, jnp.asarray(pointmap).reshape(-1, 3),
+            jnp.asarray(colors).reshape(-1, 3),
+            jnp.asarray(conf_mask).reshape(-1),
+            jnp.int32(submap_idx))
+        # new slots start with zero Adam moments (reference: fresh optimizer
+        # entries on cat, gaussian_model.py:374-417)
+        m, v, t = self.adam
+
+        def _mask(x):
+            return jnp.where(used.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x)
+        self.adam = (jax.tree.map(_mask, m), jax.tree.map(_mask, v), t)
+        return int(n)
+
+    def _window_arrays(self, window: List[int]):
+        W_SIZE = self.cfg.window_size
+        idx = np.zeros(W_SIZE, np.int32)
+        wts = np.zeros(W_SIZE, np.float32)
+        for i, k in enumerate(window[-W_SIZE:]):
+            idx[i] = k
+            wts[i] = 1.0
+        return jnp.asarray(idx), jnp.asarray(wts)
+
+    def optimization(self, iters: int, window: List[int],
+                     optimize_pose: bool = True):
+        idx, wts = self._window_arrays(window)
+        params, self.adam, w2c, exposure, loss = self._optimize(
+            self.arena, self.adam, self.cams, idx, wts,
+            int(iters), bool(optimize_pose))
+        self.arena = self.arena.with_params(params)
+        # write back refined poses/exposures for the real window entries
+        if optimize_pose:
+            n = int(wts.sum())
+            for i in range(n):
+                k = int(idx[i])
+                self.cams = dataclasses.replace(
+                    self.cams,
+                    w2c=self.cams.w2c.at[k].set(w2c[i]),
+                    exposure_a=self.cams.exposure_a.at[k].set(exposure["a"][i]),
+                    exposure_b=self.cams.exposure_b.at[k].set(exposure["b"][i]))
+        return float(loss)
+
+    def pose_refine(self, idx: int):
+        """Refine one view's pose; returns (pointmap, valid) for seeding."""
+        image = self.cams.image[idx].astype(jnp.float32) / 255.0
+        depth_gt = self.cams.depth[idx].astype(jnp.float32)
+        new_w2c, gt_scaled, pointmap, valid = self._pose_refine(
+            self.arena.params(), self.arena.alive, image, depth_gt,
+            self.cams.w2c[idx])
+        self.cams = dataclasses.replace(
+            self.cams,
+            w2c=self.cams.w2c.at[idx].set(new_w2c),
+            depth=self.cams.depth.at[idx].set(gt_scaled.astype(jnp.bfloat16)))
+        ds = self.cfg.downsample
+        return pointmap[::ds, ::ds], valid[::ds, ::ds]
+
+    def global_ba(self, total_iters: int, densify: bool = True):
+        view_ids = [i for i in range(self.cfg.cam_capacity)
+                    if bool(self.cams.valid[i])]
+        if not view_ids:
+            return
+        seg = self.cfg.gba_segment
+        n_segs = max(1, (total_iters + seg - 1) // seg)
+        for s in range(n_segs):
+            self._rng, k1, k2 = jax.random.split(self._rng, 3)
+            vi = jax.random.choice(k1, jnp.asarray(view_ids, jnp.int32),
+                                   shape=(seg,))
+            self.arena, self.adam, _ = self._gba_segment(
+                self.arena, self.adam, self.cams, vi, k2)
+            if densify and (s == max(n_segs // 2 - 1, 0)):
+                self._rng, k3 = jax.random.split(self._rng)
+                self.arena = densify_and_prune(
+                    self.arena, k3,
+                    max_grad=self.cfg.densify_grad_threshold,
+                    min_opacity=self.cfg.opacity_threshold)
+                m, v, t = self.adam
+                dead = ~self.arena.alive
+
+                def _mask(x):
+                    return jnp.where(
+                        dead.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x)
+                self.adam = (jax.tree.map(_mask, m), jax.tree.map(_mask, v), t)
+
+    def gaussian_update(self, submap_ids, pose_updates, camera_idx,
+                        camera_w2c):
+        """Loop-closure writeback: move Gaussians + update cam poses."""
+        for k, w2c in zip(camera_idx, camera_w2c):
+            if bool(self.cams.valid[k]):
+                self.cams = dataclasses.replace(
+                    self.cams, w2c=self.cams.w2c.at[k].set(jnp.asarray(w2c)))
+        self.arena, self.adam = self._lc_transform(
+            self.arena, self.adam, jnp.asarray(submap_ids, jnp.int32),
+            jnp.asarray(pose_updates, jnp.float32))
+        for k in camera_idx:
+            if bool(self.cams.valid[k]):
+                self.pose_refine(int(k))
+
+    def data_update(self, window: List[int]):
+        """Return refined depths/pointmaps/poses for tracker writeback."""
+        depths, pointmaps, c2ws = [], [], []
+        for k in window:
+            d, p, c = self._render_for_update(self.arena, self.cams,
+                                              jnp.int32(k))
+            depths.append(np.asarray(d))
+            pointmaps.append(np.asarray(p))
+            c2ws.append(np.asarray(c))
+        return {"depths": np.stack(depths), "pointmaps": np.stack(pointmaps),
+                "c2w": np.stack(c2ws), "window": list(window)}
+
+    # ------------------------------------------------------------------
+    def run(self, packet: Dict, iterations: int = 100):
+        """Per-submap mapping update (gs_backend_per_frame.py:776-862)."""
+        viz_idx = list(packet["viz_idx"])
+        imgs = packet["images"]          # (V, H, W, 3) uint8 mapping res
+        depths = packet["depths"]        # (V, H, W) float
+        pointmaps = packet["pointmaps"]  # (V, h, w, 3) half-res world
+        confs = packet["confs"]          # (V, h, w)
+        w2cs = packet["w2c"]             # (V, 4, 4)
+        submap_idx = int(packet["submap_idx"])
+        ds = self.cfg.downsample
+
+        for i, idx in enumerate(viz_idx):
+            if bool(self.cams.valid[idx]):
+                continue
+            w2c = w2cs[i]
+            if i > 0:
+                # chain through the refined previous pose (:810-814)
+                prev = viz_idx[i - 1]
+                rel = w2cs[i] @ np.linalg.inv(w2cs[i - 1])
+                w2c = rel @ np.asarray(self.cams.w2c[prev])
+            self.add_keyframe(idx, imgs[i], depths[i], w2c)
+
+            if not self.initialized:
+                rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
+                self.seed(idx, pointmaps[i], rgb_ds, confs[i] > 0.0,
+                          submap_idx)
+                self.current_window = [idx]
+                self.optimization(iterations, self.current_window)
+                self.initialized = True
+            else:
+                if len(self.current_window) < self.cfg.window_size:
+                    self.current_window = self.current_window + [idx]
+                else:
+                    self.current_window = self.current_window[1:] + [idx]
+                pointmap, valid = self.pose_refine(idx)
+                rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
+                self.seed(idx, np.asarray(pointmap), rgb_ds,
+                          np.asarray(valid) > 0, submap_idx)
+                self.optimization(20, self.current_window)
+                self.optimization(50, [self.current_window[-1]],
+                                  optimize_pose=False)
+
+        n_views = int(np.sum(np.asarray(self.cams.valid)))
+        self.global_ba(10 * n_views, densify=True)
+        return self.data_update(self.current_window)
+
+    def finalize(self, iters: int = 2000):
+        self.global_ba(iters, densify=True)
+
+    def eval_view(self, idx: int):
+        """PSNR for one keyframe (eval_utils.py:14-105 core metric)."""
+        out = self._render_for_update(self.arena, self.cams, jnp.int32(idx))
+        # render once more for color via the optimize path
+        params = self.arena.params()
+        img = render_view(params, self.arena.alive, self.cams.w2c[idx],
+                          self.K4, self.raster_cfg)["color"]
+        gt = np.asarray(self.cams.image[idx], np.float32) / 255.0
+        mse = float(np.mean((np.asarray(img) - gt) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))

@@ -1,0 +1,70 @@
+"""Render wrapper: world -> camera transform in JAX, then the rasterizer.
+
+Counterpart of /root/reference/hislam2/gaussian/renderer/__init__.py:
+the Gaussian -> camera-frame transform happens OUTSIDE the rasterizer
+(torch there, JAX here) so pose-delta gradients flow through
+``get_pose`` = SE3_exp(deltas) @ w2c (slam_utils.py:93-102) without the
+kernel needing pose derivatives.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.gs_raster import RasterizeConfig, rasterize
+from ..geometry.quaternion import (matrix_to_quat, xyzw_to_wxyz)
+from .camera import se3_delta_to_matrix
+from .gaussian_map import GaussianArena, SH2RGB
+
+__all__ = ["render_view", "transform_to_frame"]
+
+
+def _quat_mult_wxyz(q1, q2):
+    w1, x1, y1, z1 = jnp.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = jnp.moveaxis(q2, -1, 0)
+    return jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def transform_to_frame(params: Dict[str, jax.Array], w2c: jax.Array):
+    """Gaussian world params -> camera frame (renderer/__init__.py:160-212).
+
+    params: arena param dict (xyz, quat wxyz, ...); w2c: (4, 4) possibly
+    delta-composed. Returns (means_cam, quats_cam_wxyz).
+    """
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    means_cam = params["xyz"] @ R.T + t
+    q_cam_frame = xyzw_to_wxyz(matrix_to_quat(R))
+    q = params["quat"]
+    quat_n = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+    quats_cam = _quat_mult_wxyz(q_cam_frame[None], quat_n)
+    return means_cam, quats_cam
+
+
+def render_view(params: Dict[str, jax.Array], alive: jax.Array,
+                w2c_base: jax.Array, K4: jax.Array, cfg: RasterizeConfig,
+                trans_delta: Optional[jax.Array] = None,
+                rot_delta: Optional[jax.Array] = None,
+                bg: Optional[jax.Array] = None,
+                means2d_probe: Optional[jax.Array] = None):
+    """Render one view from arena params + camera (+ optional pose deltas).
+
+    Dead arena slots render with zero opacity (they cost compute but keep
+    shapes static — the TPU trade).
+    """
+    w2c = w2c_base
+    if trans_delta is not None:
+        w2c = se3_delta_to_matrix(trans_delta, rot_delta) @ w2c_base
+    means_cam, quats_cam = transform_to_frame(params, w2c)
+    opac = jax.nn.sigmoid(params["opacity_logit"]) * alive.astype(jnp.float32)
+    colors = jnp.clip(SH2RGB(params["f_dc"]), 0.0, None)
+    return rasterize(means_cam, quats_cam, jnp.exp(params["log_scales"]),
+                     opac, colors, K4, cfg, bg=bg,
+                     means2d_probe=means2d_probe)

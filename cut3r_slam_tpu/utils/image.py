@@ -1,0 +1,89 @@
+"""Frame ingest: image stream with the reference's two-resolution resize.
+
+Counterpart of /root/reference/demo_s.py:48-94 (mono_stream): reads an
+image directory, optionally undistorts, crops a border, and yields every
+frame at two resolutions with rescaled intrinsics:
+
+* tracking: w=512, h = (512 / w0 * h0) // 16 * 16   (multiple of 16)
+* mapping:  w=512, h = (512 / w0 * h0) // 2 * 2     (multiple of 2)
+
+Uses cv2 when available, PIL otherwise.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["mono_stream", "list_images", "resize_with_intrinsics"]
+
+_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+
+
+def list_images(imagedir: str):
+    files = [f for f in sorted(os.listdir(imagedir))
+             if f.lower().endswith(_EXTS)]
+    return [os.path.join(imagedir, f) for f in files]
+
+
+def _imread(path: str) -> np.ndarray:
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize((w, h)))
+
+
+def resize_with_intrinsics(img: np.ndarray, K4: np.ndarray,
+                           target_w: int = 512, multiple: int = 16
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    h0, w0 = img.shape[:2]
+    w1 = target_w
+    h1 = int(target_w / w0 * h0) // multiple * multiple
+    out = _resize(img, w1, h1)
+    sx, sy = w1 / w0, h1 / h0
+    K = np.asarray([K4[0] * sx, K4[1] * sy, K4[2] * sx, K4[3] * sy],
+                   np.float32)
+    return out, K
+
+
+def mono_stream(imagedir: str, calib: np.ndarray, stride: int = 1,
+                crop_border: int = 0, undistort: bool = False,
+                start: int = 0, length: Optional[int] = None,
+                target_w: int = 512) -> Iterator[Tuple]:
+    """Yields (t, img, K4, img_map, K4_map, is_last) like demo_s.py:48-94."""
+    calib = np.asarray(calib, np.float64).reshape(-1)
+    K4 = calib[:4].astype(np.float32)
+    dist = calib[4:] if calib.size > 4 else None
+
+    paths = list_images(imagedir)[start::stride]
+    if length is not None:
+        paths = paths[:length]
+    n = len(paths)
+
+    for t, path in enumerate(paths):
+        img = _imread(path)
+        K = K4.copy()
+        if undistort and dist is not None and np.any(dist != 0):
+            import cv2
+            Km = np.array([[K[0], 0, K[2]], [0, K[1], K[3]], [0, 0, 1]])
+            img = cv2.undistort(img, Km, dist)
+        if crop_border > 0:
+            c = crop_border
+            img = img[c:-c, c:-c]
+            K = np.asarray([K[0], K[1], K[2] - c, K[3] - c], np.float32)
+        img_track, K_track = resize_with_intrinsics(img, K, target_w, 16)
+        img_map, K_map = resize_with_intrinsics(img, K, target_w, 2)
+        yield t, img_track, K_track, img_map, K_map, t == n - 1
