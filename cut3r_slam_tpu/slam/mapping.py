@@ -66,6 +66,7 @@ class MappingConfig:
     densify_grad_threshold: float = 0.0002
     opacity_threshold: float = 0.005
     gba_segment: int = 50
+    opt_segment: int = 10  # iterations per compiled optimization segment
     alpha_th: float = 0.5
     downsample: int = 2
     max_per_tile: int = 512
@@ -425,19 +426,34 @@ class MappingBackend:
 
     def optimization(self, iters: int, window: List[int],
                      optimize_pose: bool = True):
+        """Segmented so every call shares ONE compiled program per
+        optimize_pose variant (single-core XLA compiles are the
+        bottleneck on this box). The pose/exposure Adam state restarts
+        every segment — the reference restarts it every optimization()
+        call (gs_backend_per_frame.py:477), so this only shortens the
+        pose-moment horizon; the Gaussian Adam state persists exactly."""
         idx, wts = self._window_arrays(window)
-        params, self.adam, w2c, exposure, loss = self._optimize(
-            self.arena, self.adam, self.cams, idx, wts,
-            int(iters), bool(optimize_pose))
-        self.arena = self.arena.with_params(params)
-        # write back refined poses/exposures for the real window entries
-        if optimize_pose:
+        seg = self.cfg.opt_segment
+        loss = 0.0
+        w2c = exposure = None
+        for _ in range(max(1, (int(iters) + seg - 1) // seg)):
+            params, self.adam, w2c, exposure, loss = self._optimize(
+                self.arena, self.adam, self.cams, idx, wts,
+                seg, bool(optimize_pose))
+            self.arena = self.arena.with_params(params)
+            if optimize_pose:
+                n = int(wts.sum())
+                for i in range(n):
+                    k = int(idx[i])
+                    self.cams = dataclasses.replace(
+                        self.cams, w2c=self.cams.w2c.at[k].set(w2c[i]))
+        # exposure writeback once at the end
+        if optimize_pose and exposure is not None:
             n = int(wts.sum())
             for i in range(n):
                 k = int(idx[i])
                 self.cams = dataclasses.replace(
                     self.cams,
-                    w2c=self.cams.w2c.at[k].set(w2c[i]),
                     exposure_a=self.cams.exposure_a.at[k].set(exposure["a"][i]),
                     exposure_b=self.cams.exposure_b.at[k].set(exposure["b"][i]))
         return float(loss)

@@ -1,0 +1,128 @@
+"""Sim(3) pose-graph bundle adjustment.
+
+Counterpart of /root/reference/hislam2/pgo_buffer.py (PGOBuffer +
+global_relative_posesim3_constraints): accumulate relative SE(3)
+constraints with covariances between keyframes, search loop candidates by
+flow distance + orientation gate, and refine absolute Sim(3) poses by
+Gauss-Newton over the constraint graph. The reference differentiates
+numerically (pgo_buffer.py:19-36 central differences); here the residual
+Jacobians come from `jax.jacfwd` over the sim3 retraction — same
+semantics, exact derivatives.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import (sim3_exp, sim3_log, sim3_mul, sim3_inv,
+                            sim3_identity, se3_mul, se3_inv)
+
+__all__ = ["Sim3PGO", "sim3_pgo_solve"]
+
+
+def _residual(g_all, ii, jj, rel_meas):
+    """Per-edge residual: log(meas^{-1} * g_i^{-1} * g_j) in sim(3)."""
+    gi = g_all[ii]
+    gj = g_all[jj]
+    pred = sim3_mul(sim3_inv(gi), gj)
+    return sim3_log(sim3_mul(sim3_inv(rel_meas), pred))
+
+
+@partial(jax.jit, static_argnames=("iters", "fixed"))
+def sim3_pgo_solve(poses_sim3: jax.Array, ii: jax.Array, jj: jax.Array,
+                   rel_meas: jax.Array, weights: jax.Array,
+                   iters: int = 10, fixed: int = 1,
+                   damping: float = 1e-4) -> jax.Array:
+    """Gauss-Newton Sim(3) PGO.
+
+    poses_sim3: (N, 8) absolute Sim3 [t, q xyzw, s]; ii/jj: (E,) edges;
+    rel_meas: (E, 8) measured relative Sim3 (frame i -> j);
+    weights: (E,) per-edge confidence. First ``fixed`` poses pinned.
+
+    Returns refined (N, 8).
+    """
+    N = poses_sim3.shape[0]
+    D = 7
+
+    def gn_step(g_all, _):
+        def r_of_xi(xi_flat):
+            xi = xi_flat.reshape(N, D)
+            xi = xi.at[:fixed].set(0.0)
+            g = sim3_mul(sim3_exp(xi), g_all)
+            return _residual(g, ii, jj, rel_meas).reshape(-1)
+
+        r0 = r_of_xi(jnp.zeros(N * D))
+        J = jax.jacfwd(r_of_xi)(jnp.zeros(N * D))  # (E*7, N*7)
+        w = jnp.repeat(weights, D)
+        JtW = J.T * w[None, :]
+        H = JtW @ J + damping * jnp.eye(N * D)
+        b = -JtW @ r0
+        dx = jnp.linalg.solve(H, b).reshape(N, D)
+        dx = dx.at[:fixed].set(0.0)
+        return sim3_mul(sim3_exp(dx), g_all), jnp.sum(w * r0 * r0)
+
+    g, costs = jax.lax.scan(gn_step, poses_sim3, None, length=iters)
+    return g
+
+
+class Sim3PGO:
+    """Constraint accumulator + solver (PGOBuffer.spin semantics)."""
+
+    def __init__(self, max_frames: int = 512):
+        self.max_frames = max_frames
+        self.ii: List[int] = []
+        self.jj: List[int] = []
+        self.rel: List[np.ndarray] = []
+        self.w: List[float] = []
+
+    def add_relative_se3(self, i: int, j: int, rel_se3: np.ndarray,
+                         weight: float = 1.0):
+        """Store an SE(3) constraint as Sim3 with unit scale
+        (pgo_buffer.py:39-62 add_rel_poses)."""
+        rel = np.concatenate([np.asarray(rel_se3, np.float32),
+                              np.ones(1, np.float32)])
+        self.ii.append(i)
+        self.jj.append(j)
+        self.rel.append(rel)
+        self.w.append(weight)
+
+    def add_sequential_constraints(self, poses_se3: np.ndarray,
+                                   weight: float = 1.0):
+        """Odometry edges between consecutive keyframes."""
+        import jax.numpy as jnp
+        for i in range(len(poses_se3) - 1):
+            rel = np.asarray(se3_mul(se3_inv(jnp.asarray(poses_se3[i])),
+                                     jnp.asarray(poses_se3[i + 1])))
+            self.add_relative_se3(i, i + 1, rel, weight)
+
+    def loop_candidates(self, positions: np.ndarray, z_axes: np.ndarray,
+                        current: int, dist_thresh: float = 0.5,
+                        angle_thresh: float = 0.7,
+                        temporal_gap: int = 20) -> np.ndarray:
+        """Flow-distance + orientation gate (pgo_buffer.py:180-196)."""
+        d = np.linalg.norm(positions - positions[current], axis=1)
+        cos = (z_axes @ z_axes[current]) / np.maximum(
+            np.linalg.norm(z_axes, axis=1)
+            * np.linalg.norm(z_axes[current]), 1e-8)
+        idx = np.arange(len(positions))
+        m = (d < dist_thresh) & (cos > angle_thresh) \
+            & (np.abs(idx - current) > temporal_gap)
+        return idx[m]
+
+    def solve(self, poses_se3: np.ndarray, iters: int = 10,
+              fixed: int = 1) -> np.ndarray:
+        """Refine absolute poses; returns (N, 8) Sim3."""
+        n = len(poses_se3)
+        g0 = np.concatenate([np.asarray(poses_se3, np.float32),
+                             np.ones((n, 1), np.float32)], axis=1)
+        if not self.ii:
+            return g0
+        return np.asarray(sim3_pgo_solve(
+            jnp.asarray(g0), jnp.asarray(self.ii, jnp.int32),
+            jnp.asarray(self.jj, jnp.int32),
+            jnp.asarray(np.stack(self.rel)),
+            jnp.asarray(self.w, jnp.float32), iters=iters, fixed=fixed))

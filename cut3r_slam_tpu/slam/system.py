@@ -66,6 +66,8 @@ class SLAMSystem:
         self.mapper: Optional[MappingBackend] = None
         self.enable_mapping = enable_mapping
         self._map_cfg_extra = dict(
+            capacity=mcfg.get("arena_capacity", 2 ** 18),
+            cam_capacity=buffer,
             window_size=mcfg.get("window_size", 10),
             lambda_depth=mcfg.get("lambda_depth", 0.5),
             lambda_normal=mcfg.get("lambda_normal", 0.05),
@@ -144,7 +146,8 @@ class SLAMSystem:
             kf.depth[k] = _resize_f(d, tw, th)
 
     # ------------------------------------------------------------------
-    def terminate(self, t: int, eval_render: bool = True):
+    def terminate(self, t: int, eval_render: bool = True,
+                  export_renders: bool = True):
         """Final flush + global BA + eval (hi2.py:153-229)."""
         self.frontend.run(t, last_frame=True)
         result = {}
@@ -155,7 +158,37 @@ class SLAMSystem:
                          for i in range(self.keyframes.count)
                          if bool(self.mapper.cams.valid[i])]
                 result["psnr_kf"] = float(np.mean(psnrs)) if psnrs else 0.0
+            if export_renders:
+                self.export_renders(os.path.join(self.output_dir,
+                                                 "renders_kf"))
         return result
+
+    def export_renders(self, outdir: str):
+        """Save rendered KF color + uint16 depth x6553.5 for the TSDF
+        pipeline (eval_utils.py:60-88 convention)."""
+        from .renderer import render_view
+        os.makedirs(outdir, exist_ok=True)
+        m = self.mapper
+        for i in range(self.keyframes.count):
+            if not bool(m.cams.valid[i]):
+                continue
+            out = render_view(m.arena.params(), m.arena.alive,
+                              m.cams.w2c[i], m.K4, m.raster_cfg)
+            color = np.clip(np.asarray(out["color"]) * 255, 0, 255
+                            ).astype(np.uint8)
+            depth = np.clip(np.asarray(out["depth"]) * 6553.5, 0, 65535
+                            ).astype(np.uint16)
+            try:
+                import cv2
+                cv2.imwrite(os.path.join(outdir, f"color_{i:05d}.png"),
+                            cv2.cvtColor(color, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(os.path.join(outdir, f"depth_{i:05d}.png"), depth)
+            except ImportError:
+                from PIL import Image
+                Image.fromarray(color).save(
+                    os.path.join(outdir, f"color_{i:05d}.png"))
+                Image.fromarray(depth).save(
+                    os.path.join(outdir, f"depth_{i:05d}.png"))
 
     def save_trajectory(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

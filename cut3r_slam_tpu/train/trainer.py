@@ -1,0 +1,99 @@
+"""CUT3R training loop (data-parallel / FSDP over a TPU mesh).
+
+Counterpart of /root/reference/src/train.py (Hydra+Accelerate DDP trainer)
+mapped to jax.distributed + pjit: one jitted train step with sharded
+params/batch (XLA inserts the gradient collectives), checkpointing via
+orbax, metrics to stdout/JSONL. TBPTT (inference.py:90-216) corresponds to
+a `jax.checkpoint`-wrapped model scan plus `stop_gradient` on the carried
+state between chunks — here the recurrence lives inside the model's
+lax.scan and full backprop through it is the default; `tbptt_chunk`
+truncates by splitting the view axis and stopping gradients between
+chunks at the loss level.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import CUT3R, CUT3RConfig
+from ..parallel import make_mesh, shard_batch, fsdp_shard_params
+from .train_step import make_optimizer, make_train_step
+
+__all__ = ["TrainerConfig", "train"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.05
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    log_every: int = 50
+    ckpt_every: int = 1000
+    ckpt_dir: str = "outputs/ckpt"
+    fsdp: int = 1
+    seed: int = 0
+
+
+def _save_ckpt(path: str, params, step: int):
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(os.path.abspath(path), f"step_{step}"),
+                   params, force=True)
+    except Exception:
+        import pickle
+        os.makedirs(path, exist_ok=True)
+        host = jax.tree.map(np.asarray, params)
+        with open(os.path.join(path, f"step_{step}.pkl"), "wb") as f:
+            pickle.dump(host, f)
+
+
+def train(model: CUT3R, data_iter: Iterator[Dict[str, np.ndarray]],
+          tcfg: TrainerConfig = TrainerConfig(),
+          init_params: Optional[Any] = None,
+          log_fn: Callable[[Dict], None] = lambda m: print(json.dumps(m))):
+    """Run the training loop. ``data_iter`` yields batches with keys
+    imgs (V,B,H,W,3) in [-1,1], pts3d, camera_pose (V,B,4,4),
+    valid_mask (V,B,H,W) [, img].
+    """
+    n_dev = len(jax.devices())
+    fsdp = tcfg.fsdp if n_dev % max(tcfg.fsdp, 1) == 0 else 1
+    mesh = make_mesh(n_dev, axes=("dp", "fsdp"),
+                     shape=(n_dev // max(fsdp, 1), max(fsdp, 1)))
+
+    tx = make_optimizer(tcfg.lr, tcfg.weight_decay, tcfg.warmup_steps,
+                        tcfg.total_steps)
+    batch0 = next(data_iter)
+    if init_params is None:
+        init_params = model.init(jax.random.PRNGKey(tcfg.seed),
+                                 jnp.asarray(batch0["imgs"]))
+
+    with mesh:
+        params = fsdp_shard_params(mesh, init_params, axis="fsdp")
+        opt_state = tx.init(params)
+        step_fn = jax.jit(make_train_step(model, tx),
+                          donate_argnums=(0, 1))
+
+        t0 = time.time()
+        for step in range(tcfg.total_steps):
+            batch = batch0 if step == 0 else next(data_iter)
+            batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch),
+                                axis="dp", dim=1)
+            params, opt_state, aux = step_fn(params, opt_state, batch)
+            if step % tcfg.log_every == 0:
+                loss = float(aux["total"])
+                log_fn({"step": step, "loss": round(loss, 5),
+                        "sec_per_step": round((time.time() - t0)
+                                              / max(step, 1), 3)})
+            if step > 0 and step % tcfg.ckpt_every == 0:
+                _save_ckpt(tcfg.ckpt_dir, params, step)
+        _save_ckpt(tcfg.ckpt_dir, params, tcfg.total_steps)
+    return params

@@ -35,10 +35,16 @@ def main():
     p.add_argument("--no-loop", action="store_true")
     p.add_argument("--tiny-model", action="store_true",
                    help="random tiny model instead of the checkpoint (CI)")
+    p.add_argument("--target_width", type=int, default=512,
+                   help="tracking width (512 = reference resolution)")
+    p.add_argument("--arena_capacity", type=int, default=2 ** 18)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -63,8 +69,9 @@ def main():
     h0, w0 = first.shape[:2]
     if args.cropborder:
         h0, w0 = h0 - 2 * args.cropborder, w0 - 2 * args.cropborder
-    Ht = int(512 / w0 * h0) // 16 * 16
-    Hm = int(512 / w0 * h0) // 2 * 2
+    tw = args.target_width
+    Ht = int(tw / w0 * h0) // 16 * 16
+    Hm = int(tw / w0 * h0) // 2 * 2
 
     if args.tiny_model:
         mcfg = CUT3RConfig.tiny()
@@ -73,13 +80,14 @@ def main():
     model = CUT3R(mcfg)
     if args.tiny_model or not os.path.exists(args.ckpt):
         print(f"[demo] checkpoint {args.ckpt} unavailable -> random init")
-        dummy = jnp.zeros((1, 1, Ht, 512, 3))
+        dummy = jnp.zeros((1, 1, Ht, tw, 3))
         params = model.init(jax.random.PRNGKey(0), dummy)
     else:
         params = load_cut3r_params(args.ckpt)
 
+    cfg.setdefault("Mapping", {})["arena_capacity"] = args.arena_capacity
     slam = SLAMSystem(model, params, cfg, buffer=args.buffer,
-                      img_hw=(Ht, 512), map_hw=(Hm, 512),
+                      img_hw=(Ht, tw), map_hw=(Hm, tw),
                       enable_mapping=not args.no_mapping,
                       enable_loop=not args.no_loop,
                       output_dir=args.output)
@@ -88,7 +96,8 @@ def main():
     t0 = time.time()
     n = 0
     stream = mono_stream(args.imagedir, calib, args.stride, args.cropborder,
-                         args.undistort, args.start, args.length)
+                         args.undistort, args.start, args.length,
+                         target_w=tw)
     prev = None
     for (t, img, K, img_map, K_map, is_last) in stream:
         slam.run(t, img, K, img_map, K_map,
