@@ -1,0 +1,65 @@
+"""Sim(3) pose-graph optimization tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cut3r_slam_tpu.slam.sim3_pgo import Sim3PGO, sim3_pgo_solve
+from cut3r_slam_tpu.geometry import lie
+
+RNG = np.random.default_rng(2)
+
+
+def _make_traj(n=8):
+    xi = RNG.normal(size=(n, 6)).astype(np.float32) * 0.2
+    xi[0] = 0
+    poses = np.asarray(lie.se3_exp(jnp.asarray(np.cumsum(xi, 0))))
+    return poses
+
+
+def test_pgo_recovers_drift():
+    """Odometry chain + one loop edge: GN pulls drifted poses back."""
+    gt = _make_traj(8)
+    pgo = Sim3PGO()
+    # odometry constraints from GT relative poses
+    pgo.add_sequential_constraints(gt, weight=1.0)
+    # loop constraint between frame 0 and 7 (GT relative)
+    rel = np.asarray(lie.se3_mul(lie.se3_inv(jnp.asarray(gt[0])),
+                                 jnp.asarray(gt[7])))
+    pgo.add_relative_se3(0, 7, rel, weight=5.0)
+
+    # drifted initialization
+    drift = RNG.normal(size=(8, 6)).astype(np.float32) * 0.05
+    drift[0] = 0
+    init = np.asarray(lie.se3_retr(jnp.asarray(gt), jnp.asarray(drift)))
+
+    refined = pgo.solve(init, iters=8)
+
+    def err(p):
+        e = lie.se3_log(lie.se3_mul(jnp.asarray(p[:, :7]),
+                                    lie.se3_inv(jnp.asarray(gt))))
+        return float(jnp.abs(e).mean())
+
+    e0 = err(np.concatenate([init, np.ones((8, 1), np.float32)], 1))
+    e1 = err(refined)
+    assert e1 < 0.3 * e0, (e0, e1)
+    # scales stay ~1 for pure SE3 constraints
+    np.testing.assert_allclose(np.asarray(refined[:, 7]), 1.0, atol=0.05)
+
+
+def test_pgo_fixed_pose_pinned():
+    gt = _make_traj(4)
+    pgo = Sim3PGO()
+    pgo.add_sequential_constraints(gt)
+    refined = pgo.solve(gt, iters=3, fixed=1)
+    np.testing.assert_allclose(np.asarray(refined[0, :7]), gt[0], atol=1e-5)
+
+
+def test_loop_candidate_gate():
+    pgo = Sim3PGO()
+    pos = np.zeros((50, 3))
+    pos[40:] += 10.0  # far away
+    z = np.tile([0, 0, 1.0], (50, 1))
+    cand = pgo.loop_candidates(pos, z, current=30, dist_thresh=0.5,
+                               temporal_gap=20)
+    # frames 0..9 are close in space and > 20 frames away
+    assert (cand < 10).all() and len(cand) == 10
