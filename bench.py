@@ -48,15 +48,16 @@ def main():
         out = model.apply(params, imgs)
         return out["pts3d_in_other_view"], out["camera_pose"], out["conf"]
 
-    # warmup / compile
+    # warmup / compile (note: on the axon tunnel block_until_ready does
+    # NOT actually block — a host readback is the only reliable sync)
     out = submap_step(params, imgs)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[1])
 
     iters = 10 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         out = submap_step(params, imgs)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[1])  # data-dependent sync on the whole chain
     dt = (time.perf_counter() - t0) / iters
 
     # one submap step covers V keyframes; with kf skip=5 (motion filter

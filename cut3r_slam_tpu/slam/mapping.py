@@ -575,6 +575,42 @@ class MappingBackend:
     def finalize(self, iters: int = 2000):
         self.global_ba(iters, densify=True)
 
+    # ------------------------------------------------------------------
+    # checkpointing (gaussian_model.py:107-144 capture/restore +
+    # gs_backend_per_frame.py:1073-1093 save/load)
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        import numpy as _np
+        import os as _os
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        arena_np = {f"arena_{k}": _np.asarray(v)
+                    for k, v in dataclasses.asdict(self.arena).items()}
+        cams_np = {f"cams_{k}": _np.asarray(v)
+                   for k, v in dataclasses.asdict(self.cams).items()}
+        m, v, t = self.adam
+        adam_np = {f"adam_m_{k}": _np.asarray(x) for k, x in m.items()}
+        adam_np.update({f"adam_v_{k}": _np.asarray(x) for k, x in v.items()})
+        adam_np["adam_t"] = _np.asarray(t)
+        _np.savez_compressed(path, window=_np.asarray(self.current_window),
+                             initialized=_np.asarray(self.initialized),
+                             **arena_np, **cams_np, **adam_np)
+
+    def load(self, path: str):
+        import numpy as _np
+        z = _np.load(path)
+        self.arena = GaussianArena(**{
+            k: jnp.asarray(z[f"arena_{k}"])
+            for k in dataclasses.asdict(self.arena)})
+        self.cams = CameraBuffer(**{
+            k: jnp.asarray(z[f"cams_{k}"])
+            for k in dataclasses.asdict(self.cams)})
+        keys = list(self.arena.params())
+        self.adam = ({k: jnp.asarray(z[f"adam_m_{k}"]) for k in keys},
+                     {k: jnp.asarray(z[f"adam_v_{k}"]) for k in keys},
+                     jnp.asarray(z["adam_t"]))
+        self.current_window = [int(x) for x in z["window"]]
+        self.initialized = bool(z["initialized"])
+
     def eval_view(self, idx: int):
         """PSNR for one keyframe (eval_utils.py:14-105 core metric)."""
         out = self._render_for_update(self.arena, self.cams, jnp.int32(idx))

@@ -161,6 +161,12 @@ class SLAMSystem:
             if export_renders:
                 self.export_renders(os.path.join(self.output_dir,
                                                  "renders_kf"))
+            # checkpoint + final gaussian ply (gs_backend:1073, 3dgs_final)
+            os.makedirs(self.output_dir, exist_ok=True)
+            self.mapper.save(os.path.join(self.output_dir, "gaussians.npz"))
+            from ..utils.viz import save_gaussians_ply
+            save_gaussians_ply(os.path.join(self.output_dir,
+                                            "3dgs_final.ply"), self.mapper.arena)
         return result
 
     def export_renders(self, outdir: str):
