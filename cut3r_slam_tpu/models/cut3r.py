@@ -264,6 +264,46 @@ class CUT3R(nn.Module):
         return state_feat, mem, hook_list
 
     # ------------------------------------------------------------------
+    # chunked forward with explicit carry (TBPTT, inference.py:90-216)
+    # ------------------------------------------------------------------
+    def forward_chunk(self, imgs: jax.Array, carry, chunk_start: jax.Array):
+        """Like __call__ but threads an explicit recurrent carry.
+
+        imgs: (V, B, H, W, 3); carry: (state_feat, mem) or None for a
+        fresh state; chunk_start: scalar int, global index of view 0 (the
+        learned pose token is used only when it is 0).
+        Returns (out dict, (state_feat, mem)).
+        """
+        V, B, H, W, _ = imgs.shape
+        feat, pos = self.encode_image(imgs.reshape(V * B, H, W, 3))
+        N = feat.shape[1]
+        feat = feat.reshape(V, B, N, -1)
+        pos = pos.reshape(V, B, N, 2)
+        init_state, state_pos, init_mem = self.init_state(B)
+        if carry is None:
+            carry = (init_state, init_mem)
+        state_feat, mem = carry
+
+        def body(mdl, c, xs):
+            sf, mm = c
+            feat_i, pos_i, idx = xs
+            sf, mm, hook_list = mdl.decode_step(
+                sf, state_pos, mm, feat_i, pos_i,
+                (chunk_start + idx) == 0, init_state, init_mem)
+            return (sf, mm), tuple(hook_list)
+
+        scan_fn = nn.scan(body, variable_broadcast="params",
+                          split_rngs={"params": False})
+        (state_feat, mem), hooks = scan_fn(
+            self, (state_feat, mem), (feat, pos, jnp.arange(V)))
+
+        h0, h6, h9, h12 = [h.reshape((V * B,) + h.shape[2:]) for h in hooks]
+        pos_flat = pos.reshape(V * B, N, 2)
+        out = self.downstream_head([h0, h6, h9, h12], H, W, pos_flat)
+        out = {k: v.reshape((V, B) + v.shape[1:]) for k, v in out.items()}
+        return out, (state_feat, mem)
+
+    # ------------------------------------------------------------------
     # full forward over a batch of views (offline mode, scan over V)
     # ------------------------------------------------------------------
     def __call__(self, imgs: jax.Array,

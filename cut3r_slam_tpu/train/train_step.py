@@ -60,3 +60,48 @@ def make_train_step(model: CUT3R, tx):
         return params, opt_state, aux
 
     return train_step
+
+
+def make_tbptt_train_step(model: CUT3R, tx, chunk: int = 4,
+                          grad_chunks: int = 4):
+    """Truncated-BPTT step (inference.py:90-216 semantics): the view axis
+    is split into chunks of ``chunk``; the recurrent (state, mem) carry is
+    stop-gradient'ed between chunks, and only the losses of the last
+    ``grad_chunks`` chunks contribute gradients.
+    """
+
+    def loss_fn(params, batch):
+        imgs = batch["imgs"]
+        V = imgs.shape[0]
+        n_chunks = (V + chunk - 1) // chunk
+        carry = None
+        total = 0.0
+        n_loss = 0.0
+        for c in range(n_chunks):
+            s, e = c * chunk, min((c + 1) * chunk, V)
+            out, carry = model.apply(
+                params, imgs[s:e], carry, jnp.int32(s),
+                method=CUT3R.forward_chunk)
+            carry = jax.tree.map(jax.lax.stop_gradient, carry)
+            if c >= n_chunks - grad_chunks:
+                gt = {"pts3d": batch["pts3d"][s:e],
+                      "camera_pose": batch["camera_pose"][s:e],
+                      "valid_mask": batch["valid_mask"][s:e]}
+                if "img" in batch:
+                    gt["img"] = batch["img"][s:e]
+                li, _ = cut3r_total_loss(out, gt)
+                total = total + li
+                n_loss += 1.0
+            else:
+                out = jax.tree.map(jax.lax.stop_gradient, out)
+        loss = total / max(n_loss, 1.0)
+        return loss, {"total": loss}
+
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return train_step
