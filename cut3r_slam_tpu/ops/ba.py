@@ -39,6 +39,7 @@ def block_solve(H: jax.Array, b: jax.Array, ep=0.1, lm=1e-4) -> jax.Array:
     bf = b.reshape(B, N * D)
     L = jnp.linalg.cholesky(Hf)
     x = jax.scipy.linalg.cho_solve((L, True), bf[..., None])
+    x = jnp.where(jnp.isfinite(x), x, 0.0)  # chol.py:8-19 failure guard
     return x.reshape(B, N, D)
 
 
@@ -63,7 +64,12 @@ def schur_solve(H, E, C, v, w, ep=0.1, lm=1e-4,
 
     L = jnp.linalg.cholesky(S)
     dx = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+    # failed factorization -> zero update, like the reference's
+    # CholeskySolver exception guard (geom/chol.py:8-19)
+    ok = jnp.isfinite(dx).all(axis=-1, keepdims=True)
+    dx = jnp.where(ok, dx, 0.0)
     dz = Q * (wf - jnp.einsum("bpm,bp->bm", Ef, dx))
+    dz = jnp.where(jnp.isfinite(dz), dz, 0.0)
     dxr = dx.reshape(B, P, D)
     dzr = dz.reshape(B, M, HW)
     if not with_cov:

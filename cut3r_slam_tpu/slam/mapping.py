@@ -583,9 +583,15 @@ class MappingBackend:
         import numpy as _np
         import os as _os
         _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
-        arena_np = {f"arena_{k}": _np.asarray(v)
+        def to_np(v):
+            # numpy can't round-trip bfloat16 through npz (saves as void)
+            if hasattr(v, "dtype") and v.dtype == jnp.bfloat16:
+                return _np.asarray(v.astype(jnp.float32))
+            return _np.asarray(v)
+
+        arena_np = {f"arena_{k}": to_np(v)
                     for k, v in dataclasses.asdict(self.arena).items()}
-        cams_np = {f"cams_{k}": _np.asarray(v)
+        cams_np = {f"cams_{k}": to_np(v)
                    for k, v in dataclasses.asdict(self.cams).items()}
         m, v, t = self.adam
         adam_np = {f"adam_m_{k}": _np.asarray(x) for k, x in m.items()}
@@ -601,9 +607,10 @@ class MappingBackend:
         self.arena = GaussianArena(**{
             k: jnp.asarray(z[f"arena_{k}"])
             for k in dataclasses.asdict(self.arena)})
-        self.cams = CameraBuffer(**{
-            k: jnp.asarray(z[f"cams_{k}"])
-            for k in dataclasses.asdict(self.cams)})
+        cams_kw = {k: jnp.asarray(z[f"cams_{k}"])
+                   for k in dataclasses.asdict(self.cams)}
+        cams_kw["depth"] = cams_kw["depth"].astype(jnp.bfloat16)
+        self.cams = CameraBuffer(**cams_kw)
         keys = list(self.arena.params())
         self.adam = ({k: jnp.asarray(z[f"adam_m_{k}"]) for k in keys},
                      {k: jnp.asarray(z[f"adam_v_{k}"]) for k in keys},

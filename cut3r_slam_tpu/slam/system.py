@@ -76,6 +76,8 @@ class SLAMSystem:
         self.map_hw = map_hw
         self.output_dir = output_dir
         self.mapping_iters = mcfg.get("iterations", 100)
+        self.keep_all_frames = bool(cfg.get("keep_all_frames", True))
+        self.images: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     def _init_mapper(self, K4_map):
@@ -89,6 +91,10 @@ class SLAMSystem:
             K4_map: Optional[np.ndarray] = None,
             second_last: bool = False, last: bool = False):
         """Per-frame step (hi2.py:101-135)."""
+        if self.keep_all_frames:
+            # full-frame host store for terminate-time densification and
+            # trajectory filling (hi2.py:103 self.images dict)
+            self.images[t] = img_map if img_map is not None else img
         took = self.filter(t, img, intrinsic=K4, second_last=second_last,
                            last=last, image_map=img_map,
                            intrinsic_map=K4_map)
@@ -146,11 +152,97 @@ class SLAMSystem:
             kf.depth[k] = _resize_f(d, tw, th)
 
     # ------------------------------------------------------------------
+    def add_kf_densify(self, gap: int = 30):
+        """Terminate-time densification (hi2.py:177-214): for keyframe
+        gaps > ``gap`` frames, track the middle frame against its
+        predecessor KF (2-view CUT3R) and add it as a mapping view."""
+        kf = self.keyframes
+        if self.mapper is None or not self.images:
+            return 0
+        added = 0
+        n = kf.count
+        for i in range(n - 1):
+            t0, t1 = int(kf.tstamp[i]), int(kf.tstamp[i + 1])
+            if t1 - t0 <= gap:
+                continue
+            tm = (t0 + t1) // 2
+            if tm not in self.images:
+                continue
+            # 2-view prediction padded into the fixed V=6 program
+            import jax.numpy as jnp
+            th, tw = kf.img_hw
+            im_t = self.images[tm]
+            if im_t.shape[:2] != (th, tw):
+                im_t = np.stack([_resize_f(im_t[..., c], tw, th)
+                                 for c in range(3)], -1).astype(np.uint8)
+            imgs = np.stack([kf.image[i], im_t])
+            pts_self, conf_self, c2w = self.frontend._infer(
+                self.frontend.params,
+                jnp.asarray(np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], 4, 0)])))
+            from .frontend import submap_postprocess
+            from ..geometry.pointmap import pose_vec_to_matrix
+            anchor = jnp.asarray(np.asarray(pose_vec_to_matrix(
+                jnp.asarray(kf.pose[i]))))
+            poses, depths, _, _, _, _ = submap_postprocess(
+                pts_self, conf_self, c2w, anchor,
+                jnp.asarray(kf.depth[i]), init=False, ds=2)
+            w2c_new = np.linalg.inv(np.asarray(poses[1]))
+            new_idx = kf.count
+            mh, mw = self.map_hw
+            img_m = self.images[tm] if self.images[tm].shape[:2] == (mh, mw) \
+                else np.stack([_resize_f(self.images[tm][..., c], mw, mh)
+                               for c in range(3)], -1).astype(np.uint8)
+            kf.append(tm, kf.image[i], None)  # reserve a KF slot
+            self.mapper.add_keyframe(new_idx, img_m,
+                                     _resize_f(np.asarray(depths[1]), mw, mh),
+                                     w2c_new)
+            pointmap, valid = self.mapper.pose_refine(new_idx)
+            rgb_ds = img_m[::2, ::2].astype(np.float32) / 255.0
+            self.mapper.seed(new_idx, np.asarray(pointmap), rgb_ds,
+                             np.asarray(valid) > 0, i // SUBMAP_SIZE)
+            self.mapper.optimization(20, [new_idx], optimize_pose=False)
+            added += 1
+        return added
+
+    def fill_trajectory(self):
+        """Non-KF pose filling -> traj_full rows (hi2 fill path)."""
+        if self.mapper is None or not self.images:
+            return None
+        from .trajectory_filler import TrajectoryFiller
+        filler = TrajectoryFiller(self.mapper, iters=50)
+        kf_ts = self.keyframes.tstamp[: self.keyframes.count]
+        kf_poses = self.keyframes.pose[: self.keyframes.count]
+        mh, mw = self.map_hw
+        ts = [t for t in sorted(self.images) if t not in set(kf_ts.tolist())]
+        imgs = []
+        for t in ts:
+            im = self.images[t]
+            if im.shape[:2] != (mh, mw):
+                im = np.stack([_resize_f(im[..., c], mw, mh)
+                               for c in range(3)], -1).astype(np.uint8)
+            imgs.append(im)
+        poses = filler.fill(imgs, ts, kf_ts, kf_poses)
+        return ts, poses
+
     def terminate(self, t: int, eval_render: bool = True,
-                  export_renders: bool = True):
+                  export_renders: bool = True, add_kf: bool = False,
+                  fill: bool = False):
         """Final flush + global BA + eval (hi2.py:153-229)."""
         self.frontend.run(t, last_frame=True)
         result = {}
+        if self.mapper is not None and add_kf:
+            result["added_kf"] = self.add_kf_densify()
+        if self.mapper is not None and fill:
+            filled = self.fill_trajectory()
+            if filled:
+                ts, poses = filled
+                path = os.path.join(self.output_dir, "traj_full.txt")
+                os.makedirs(self.output_dir, exist_ok=True)
+                with open(path, "w") as f:
+                    for tt, p in zip(ts, poses):
+                        f.write(f"{tt} " + " ".join(
+                            f"{v:.9f}" for v in p) + "\n")
         if self.mapper is not None:
             self.mapper.finalize(iters=1000)
             if eval_render:

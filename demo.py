@@ -93,6 +93,12 @@ def main():
                       output_dir=args.output)
 
     os.makedirs(args.output, exist_ok=True)
+    # run-config dump (demo_s.py:21-36 image_shape.txt)
+    with open(os.path.join(args.output, "image_shape.txt"), "w") as f:
+        f.write(f"track {Ht}x{tw} map {Hm}x{tw} src {h0}x{w0} "
+                f"crop {args.cropborder}\n")
+    from cut3r_slam_tpu.utils.profiling import StageTimer
+    timer = StageTimer()
     t0 = time.time()
     n = 0
     stream = mono_stream(args.imagedir, calib, args.stride, args.cropborder,
@@ -100,11 +106,14 @@ def main():
                          target_w=tw)
     prev = None
     for (t, img, K, img_map, K_map, is_last) in stream:
-        slam.run(t, img, K, img_map, K_map,
-                 second_last=False, last=is_last)
+        with timer("frame"):
+            slam.run(t, img, K, img_map, K_map,
+                     second_last=False, last=is_last)
         n += 1
         prev = t
-    result = slam.terminate(prev if prev is not None else 0)
+    with timer("terminate"):
+        result = slam.terminate(prev if prev is not None else 0)
+    timer.dump(os.path.join(args.output, "timing.json"))
     dt = time.time() - t0
 
     slam.save_trajectory(os.path.join(args.output, "traj_kf.txt"))
