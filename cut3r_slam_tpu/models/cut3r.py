@@ -53,6 +53,7 @@ class CUT3RConfig:
     mlp_ratio: float = 4.0
     rope_base: float = 100.0
     has_rgb: bool = True
+    head_type: str = "dpt"  # "dpt" (512 ckpt) or "linear" (224 ckpts)
     compute_dtype: Any = jnp.bfloat16
 
     @staticmethod
@@ -172,10 +173,16 @@ class CUT3R(nn.Module):
         self.pose_retriever = LocalMemory(
             size=c.local_mem_size, k_dim=c.enc_embed_dim, v_dim=c.dec_embed_dim,
             num_heads=c.dec_num_heads, dtype=dt, name="pose_retriever")
-        self.downstream_head = DPTPts3dPose(
-            dec_embed_dim=c.dec_embed_dim, dec_num_heads=c.dec_num_heads,
-            has_rgb=c.has_rgb, rope_base=c.rope_base, dtype=jnp.float32,
-            name="downstream_head")
+        if c.head_type == "linear":
+            from .heads import LinearPts3dPose
+            self.downstream_head = LinearPts3dPose(
+                dec_embed_dim=c.dec_embed_dim, patch_size=c.patch_size,
+                has_rgb=c.has_rgb, name="downstream_head")
+        else:
+            self.downstream_head = DPTPts3dPose(
+                dec_embed_dim=c.dec_embed_dim, dec_num_heads=c.dec_num_heads,
+                has_rgb=c.has_rgb, rope_base=c.rope_base, dtype=jnp.float32,
+                name="downstream_head")
 
     # ------------------------------------------------------------------
     # encoders
@@ -264,6 +271,26 @@ class CUT3R(nn.Module):
         return state_feat, mem, hook_list
 
     # ------------------------------------------------------------------
+    # raymap-conditioned single-view inference (model.py:963-1100
+    # inference_step: query the state with a 6-channel ray map instead of
+    # an image — pose-conditioned prediction without a new observation)
+    # ------------------------------------------------------------------
+    def inference_step(self, ray_map: jax.Array, state_feat: jax.Array,
+                       mem: jax.Array):
+        """ray_map: (B, H, W, 6); state carry from a prior forward.
+        The state/memory are NOT updated (reference passes update=False).
+        Returns the head outputs for the queried view.
+        """
+        B, H, W, _ = ray_map.shape
+        feat, pos = self.encode_ray_map(ray_map)
+        init_state, state_pos, init_mem = self.init_state(B)
+        _, _, hook_list = self.decode_step(
+            state_feat, state_pos, mem, feat, pos,
+            jnp.zeros((B,), bool), init_state, init_mem,
+            update=jnp.zeros((B,), jnp.float32))
+        return self.downstream_head(hook_list, H, W, pos)
+
+    # ------------------------------------------------------------------
     # chunked forward with explicit carry (TBPTT, inference.py:90-216)
     # ------------------------------------------------------------------
     def forward_chunk(self, imgs: jax.Array, carry, chunk_start: jax.Array):
@@ -318,6 +345,10 @@ class CUT3R(nn.Module):
         """
         V, B, H, W, _ = imgs.shape
         feat, pos = self.encode_image(imgs.reshape(V * B, H, W, 3))
+        if self.is_initializing():
+            # materialize the ray-map encoder params (the reference runs a
+            # zeroed ray map through it for the same reason, model.py:643)
+            _ = self.encode_ray_map(jnp.zeros((1, H, W, 6)))
         N = feat.shape[1]
         feat = feat.reshape(V, B, N, -1)
         pos = pos.reshape(V, B, N, 2)

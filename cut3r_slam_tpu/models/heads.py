@@ -183,6 +183,46 @@ def postprocess_pose(out: jax.Array) -> jax.Array:
     return jnp.concatenate([trans, quats], axis=-1)
 
 
+class LinearPts3dPose(nn.Module):
+    """Linear head variant (heads/linear_head.py:170): one Dense from the
+    final decoder tokens to per-patch (3+1)-channel pixel values for both
+    self and cross pointmaps, plus the pose MLP. Cheaper than DPT; used
+    by the 224-resolution CUT3R checkpoints."""
+    dec_embed_dim: int
+    patch_size: int = 16
+    has_rgb: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hook_tokens, img_h: int, img_w: int, pos):
+        pose_token = hook_tokens[-1][:, 0]
+        token = hook_tokens[-1][:, 1:].astype(jnp.float32)
+        B, N, _ = token.shape
+        ps = self.patch_size
+        nh, nw = img_h // ps, img_w // ps
+
+        def unpatch(x, c):
+            x = x.reshape(B, nh, nw, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
+            return x.reshape(B, img_h, img_w, c)
+
+        pose_raw = PoseDecoder(self.dec_embed_dim, dtype=jnp.float32,
+                               name="pose_head")(pose_token.astype(jnp.float32))
+        self_out = unpatch(nn.Dense(ps * ps * 4, name="proj_self")(token), 4)
+        cross_out = unpatch(nn.Dense(ps * ps * 4, name="proj_cross")(token), 4)
+        out = {
+            "pts3d_in_self_view": reg_dense_depth(self_out[..., :3]),
+            "conf_self": reg_dense_conf(self_out[..., 3]),
+            "pts3d_in_other_view": reg_dense_depth(cross_out[..., :3]),
+            "conf": reg_dense_conf(cross_out[..., 3]),
+            "camera_pose": postprocess_pose(pose_raw),
+        }
+        if self.has_rgb:
+            rgb = unpatch(nn.Dense(ps * ps * 3, name="proj_rgb")(token), 3)
+            eps = 1e-6
+            out["rgb"] = (jax.nn.sigmoid(rgb) * (1 - 2 * eps) + eps - 0.5) * 2
+        return out
+
+
 class DPTPts3dPose(nn.Module):
     """Live head of cut3r_512_dpt_4_64 (dpt_head.py:139-260).
 

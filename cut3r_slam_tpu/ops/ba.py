@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..geometry.lie import se3_retr
 from ..geometry.projective import projective_transform
 
-__all__ = ["bundle_adjust", "moba", "schur_solve", "block_solve"]
+__all__ = ["bundle_adjust", "moba", "jdsa", "schur_solve", "block_solve"]
 
 
 def _damp(H, ep=0.1, lm=1e-4):
@@ -174,6 +174,109 @@ def bundle_adjust(target: jax.Array, weight: jax.Array, eta: jax.Array,
     (poses, disps), dzcov = jax.lax.scan(one_step, (poses, disps), None,
                                          length=steps)
     return poses, disps, dzcov[-1]
+
+
+def _bilinear_upsample_with_jacobian(scales: jax.Array, ht: int, wd: int):
+    """Per-frame low-res scale grid -> full-res multiplier + Jacobian.
+
+    scales: (M, hs, ws). Returns (vals (M, ht, wd),
+    J (ht*wd, hs*ws) bilinear weights — shared across frames).
+    Replaces droid_backends.bi_inter (geom/ba.py:167).
+    """
+    M, hs, ws = scales.shape
+    gy = jnp.linspace(0, hs - 1 - 1e-6, ht)
+    gx = jnp.linspace(0, ws - 1 - 1e-6, wd)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    fy = (gy - y0)[:, None]
+    fx = (gx - x0)[None, :]
+    y1 = jnp.clip(y0 + 1, 0, hs - 1)
+    x1 = jnp.clip(x0 + 1, 0, ws - 1)
+
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+    vals = (scales[:, y0[:, None], x0[None, :]] * w00
+            + scales[:, y0[:, None], x1[None, :]] * w01
+            + scales[:, y1[:, None], x0[None, :]] * w10
+            + scales[:, y1[:, None], x1[None, :]] * w11)
+
+    # dense Jacobian (ht*wd, hs*ws): 4 weights per row
+    rows = jnp.arange(ht * wd)
+    yy0 = jnp.repeat(y0, wd)
+    xx0 = jnp.tile(x0, ht)
+    yy1 = jnp.repeat(y1, wd)
+    xx1 = jnp.tile(x1, ht)
+    J = jnp.zeros((ht * wd, hs * ws))
+    J = J.at[rows, yy0 * ws + xx0].add(w00.reshape(-1))
+    J = J.at[rows, yy0 * ws + xx1].add(w01.reshape(-1))
+    J = J.at[rows, yy1 * ws + xx0].add(w10.reshape(-1))
+    J = J.at[rows, yy1 * ws + xx1].add(w11.reshape(-1))
+    return vals, J
+
+
+@partial(jax.jit, static_argnames=())
+def jdsa(target: jax.Array, weight: jax.Array, eta: jax.Array,
+         poses: jax.Array, disps: jax.Array, intrinsics: jax.Array,
+         disps_prior: jax.Array, dscales: jax.Array, ii: jax.Array,
+         jj: jax.Array, edge_valid: jax.Array, alpha: float = 0.01):
+    """Joint Depth & Scale Adjustment (geom/ba.py:161-241).
+
+    Fuses mono-prior disparities (scaled by per-frame low-res grids
+    ``dscales`` (P, hs, ws), bilinearly upsampled) with the depth-only BA
+    system: C/w come from the projective residuals (the
+    droid_backends.proj_trans fusion), the prior term couples each frame's
+    disparity map to its scale grid through a Schur solve.
+
+    Returns (disps, dscales, dzcov).
+    """
+    P0, ht, wd = disps.shape
+    HW = ht * wd
+    hs, ws = dscales.shape[-2:]
+    Dg = hs * ws
+
+    # --- depth-only BA coefficients (proj_trans equivalent) ---
+    coords, valid, (_, _, Jz) = projective_transform(
+        poses, disps, intrinsics, ii, jj, jacobian=True)
+    r = (target - coords) * valid * edge_valid[:, None, None, None]
+    w = 0.001 * (valid * weight) * edge_valid[:, None, None, None]
+    Jz2 = Jz.reshape(1, ii.shape[0], HW, 2)
+    w2 = w.reshape(1, ii.shape[0], HW, 2)
+    r2 = r.reshape(1, ii.shape[0], HW, 2)
+    Ck = jnp.sum(w2 * Jz2 * Jz2, axis=-1)
+    wk = jnp.sum(w2 * r2 * Jz2, axis=-1)
+    C = _scatter_vec(Ck, ii, P0)[0]   # (P0, HW)
+    wv = _scatter_vec(wk, ii, P0)[0]
+
+    # --- prior residuals ---
+    m = (disps_prior > 0).astype(jnp.float32).reshape(P0, HW)
+    vals, Jbi = _bilinear_upsample_with_jacobian(dscales, ht, wd)
+    disps_bi = disps_prior * vals
+    rd = (disps - disps_bi).reshape(P0, HW)
+    # d(rd)/d(scale grid) = -prior * Jbi
+    Jso = -(m * disps_prior.reshape(P0, HW))[:, :, None] * Jbi[None]
+
+    aw = alpha
+    Hs = jnp.einsum("mpa,mpb->mab", Jso * aw, Jso)  # (P0, Dg, Dg)
+    Es = (Jso * aw).swapaxes(1, 2)                   # (P0, Dg, HW)
+    vs = -jnp.einsum("mpa,mp->ma", Jso * aw, rd)
+
+    C = C + m * aw + (1 - m) * eta.reshape(P0, HW) + 1e-7
+    wv = wv - m * aw * rd
+
+    # block-diagonal Schur (each frame independent in the prior term)
+    Hd = jnp.zeros((1, P0, P0, Dg, Dg)).at[:, jnp.arange(P0),
+                                           jnp.arange(P0)].set(Hs[None])
+    Ed = jnp.zeros((1, P0, P0, Dg, HW)).at[:, jnp.arange(P0),
+                                           jnp.arange(P0)].set(Es[None])
+    dso, dz, dzcov = schur_solve(Hd, Ed, C[None], vs[None], wv[None])
+
+    new_disps = disps + dz[0].reshape(P0, ht, wd)
+    new_disps = jnp.where(new_disps > 10, 0.0, new_disps)
+    new_disps = jnp.clip(new_disps, 0.001)
+    new_dscales = dscales + dso[0].reshape(P0, hs, ws)
+    return new_disps, new_dscales, dzcov
 
 
 @partial(jax.jit, static_argnames=("fixedp", "steps"))
