@@ -41,6 +41,8 @@ def main():
     p.add_argument("--arena_capacity", type=int, default=2 ** 18)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-perturb", action="store_true")
+    p.add_argument("--calib", default=None,
+                   help="calib file overriding the dataset default")
     args = p.parse_args()
 
     import jax
@@ -59,7 +61,11 @@ def main():
     from cut3r_slam_tpu.utils.image import resize_with_intrinsics
     from cut3r_slam_tpu.utils.eval import ate_rmse
 
-    ds = get_dataset(args.dataset, args.folder)
+    calib = None
+    if args.calib:
+        from cut3r_slam_tpu.utils.config import load_calib
+        calib = load_calib(args.calib)[:4]
+    ds = get_dataset(args.dataset, args.folder, calib)
     rng = np.random.default_rng(0)
     os.makedirs(args.output, exist_ok=True)
 
