@@ -45,8 +45,9 @@ def main():
 
     @jax.jit
     def submap_step(params, imgs):
-        out = model.apply(params, imgs)
-        return out["pts3d_in_other_view"], out["camera_pose"], out["conf"]
+        # the live tracking path: self-pointmap + pose heads only
+        out = model.apply(params, imgs, head_outputs=("self", "pose"))
+        return out["pts3d_in_self_view"], out["camera_pose"], out["conf_self"]
 
     # warmup / compile (note: on the axon tunnel block_until_ready does
     # NOT actually block — a host readback is the only reliable sync)

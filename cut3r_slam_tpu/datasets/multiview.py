@@ -10,7 +10,7 @@ datasets/rgbd.py or any (image, depth, pose, K) provider.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from ..utils.image import _imread, _resize
+from ..utils.image import _imread
 
 __all__ = ["get_dataset", "ReplicaDataset", "ScanNetDataset", "TUMDataset"]
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quaternion import quat_to_matrix, matrix_to_quat, quat_normalize
+from .quaternion import quat_normalize
 from .lie import se3_matrix, se3_from_matrix
 
 __all__ = [

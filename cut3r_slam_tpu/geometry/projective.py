@@ -13,8 +13,6 @@ Intrinsics are ``[fx, fy, cx, cy]``.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ Design notes (TPU):
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ import flax.linen as nn
 
 from .blocks import Block, DecoderBlock
 from .heads import DPTPts3dPose
-from .patch_embed import PatchEmbed, patch_positions
+from .patch_embed import PatchEmbed
 
 __all__ = ["CUT3RConfig", "CUT3R", "normalize_images"]
 
@@ -336,7 +336,9 @@ class CUT3R(nn.Module):
     def __call__(self, imgs: jax.Array,
                  update: Optional[jax.Array] = None,
                  reset: Optional[jax.Array] = None,
-                 ret_state: bool = False) -> Dict[str, jax.Array]:
+                 ret_state: bool = False,
+                 head_outputs=("self", "cross", "rgb", "pose")
+                 ) -> Dict[str, jax.Array]:
         """imgs: (V, B, H, W, 3) in [-1, 1]. update/reset: (V, B) bool.
 
         Returns dict of stacked per-view outputs, each (V, B, ...):
@@ -378,7 +380,8 @@ class CUT3R(nn.Module):
         # Batched heads over all views at once.
         h0, h6, h9, h12 = [h.reshape((V * B,) + h.shape[2:]) for h in hooks]
         pos_flat = pos.reshape(V * B, N, 2)
-        out = self.downstream_head([h0, h6, h9, h12], H, W, pos_flat)
+        out = self.downstream_head([h0, h6, h9, h12], H, W, pos_flat,
+                                   outputs=head_outputs)
         out = {k: v.reshape((V, B) + v.shape[1:]) for k, v in out.items()}
         if ret_state:
             out["state"] = (state_feat, mem)

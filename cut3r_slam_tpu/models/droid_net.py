@@ -10,9 +10,6 @@ custom-gradient clamp.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

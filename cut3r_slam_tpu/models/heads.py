@@ -194,7 +194,10 @@ class LinearPts3dPose(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hook_tokens, img_h: int, img_w: int, pos):
+    def __call__(self, hook_tokens, img_h: int, img_w: int, pos,
+                 outputs=("self", "cross", "rgb", "pose")):
+        if self.is_initializing():
+            outputs = ("self", "cross", "rgb", "pose")
         pose_token = hook_tokens[-1][:, 0]
         token = hook_tokens[-1][:, 1:].astype(jnp.float32)
         B, N, _ = token.shape
@@ -205,18 +208,21 @@ class LinearPts3dPose(nn.Module):
             x = x.reshape(B, nh, nw, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
             return x.reshape(B, img_h, img_w, c)
 
-        pose_raw = PoseDecoder(self.dec_embed_dim, dtype=jnp.float32,
-                               name="pose_head")(pose_token.astype(jnp.float32))
-        self_out = unpatch(nn.Dense(ps * ps * 4, name="proj_self")(token), 4)
-        cross_out = unpatch(nn.Dense(ps * ps * 4, name="proj_cross")(token), 4)
-        out = {
-            "pts3d_in_self_view": reg_dense_depth(self_out[..., :3]),
-            "conf_self": reg_dense_conf(self_out[..., 3]),
-            "pts3d_in_other_view": reg_dense_depth(cross_out[..., :3]),
-            "conf": reg_dense_conf(cross_out[..., 3]),
-            "camera_pose": postprocess_pose(pose_raw),
-        }
-        if self.has_rgb:
+        out = {}
+        if "pose" in outputs:
+            pose_raw = PoseDecoder(self.dec_embed_dim, dtype=jnp.float32,
+                                   name="pose_head")(
+                pose_token.astype(jnp.float32))
+            out["camera_pose"] = postprocess_pose(pose_raw)
+        if "self" in outputs:
+            self_out = unpatch(nn.Dense(ps * ps * 4, name="proj_self")(token), 4)
+            out["pts3d_in_self_view"] = reg_dense_depth(self_out[..., :3])
+            out["conf_self"] = reg_dense_conf(self_out[..., 3])
+        if "cross" in outputs:
+            cross_out = unpatch(nn.Dense(ps * ps * 4, name="proj_cross")(token), 4)
+            out["pts3d_in_other_view"] = reg_dense_depth(cross_out[..., :3])
+            out["conf"] = reg_dense_conf(cross_out[..., 3])
+        if self.has_rgb and "rgb" in outputs:
             rgb = unpatch(nn.Dense(ps * ps * 3, name="proj_rgb")(token), 3)
             eps = 1e-6
             out["rgb"] = (jax.nn.sigmoid(rgb) * (1 - 2 * eps) + eps - 0.5) * 2
@@ -237,36 +243,50 @@ class DPTPts3dPose(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hook_tokens, img_h: int, img_w: int, pos):
+    def __call__(self, hook_tokens, img_h: int, img_w: int, pos,
+                 outputs=("self", "cross", "rgb", "pose")):
+        """``outputs`` selects which pyramids run at apply time — the SLAM
+        tracking path only consumes self + pose (track_frontend.py:77-100
+        with use_pose=True), so skipping cross/rgb saves two full DPT
+        pyramids per view. All heads are still materialized at init.
+        """
+        if self.is_initializing():
+            outputs = ("self", "cross", "rgb", "pose")
         pose_token = hook_tokens[-1][:, 0]   # (B, C)
         token = hook_tokens[-1][:, 1:]
 
-        pose_raw = PoseDecoder(self.dec_embed_dim, dtype=jnp.float32,
-                               name="pose_head")(pose_token.astype(jnp.float32))
+        out = {}
+        if "pose" in outputs:
+            pose_raw = PoseDecoder(self.dec_embed_dim, dtype=jnp.float32,
+                                   name="pose_head")(
+                pose_token.astype(jnp.float32))
+            out["camera_pose"] = postprocess_pose(pose_raw)
 
-        token_cross = token
-        for i in range(2):
-            token_cross = ConditionModulationBlock(
-                self.dec_num_heads, use_rope=True, rope_base=self.rope_base,
-                dtype=self.dtype, name=f"final_transform_{i}",
-            )(token_cross, pose_token, pos)
+        x_self = [t.astype(jnp.float32) for t in hook_tokens[:-1]] \
+            + [token.astype(jnp.float32)]
 
-        x_self = [t.astype(jnp.float32) for t in hook_tokens[:-1]] + [token.astype(jnp.float32)]
-        x_cross = [t.astype(jnp.float32) for t in hook_tokens[:-1]] + [token_cross.astype(jnp.float32)]
+        if "self" in outputs:
+            self_out = DPTAdapter(num_channels=4, dtype=jnp.float32,
+                                  name="dpt_self")(x_self, img_h, img_w)
+            out["pts3d_in_self_view"] = reg_dense_depth(self_out[..., :3])
+            out["conf_self"] = reg_dense_conf(self_out[..., 3])
 
-        self_out = DPTAdapter(num_channels=4, dtype=jnp.float32,
-                              name="dpt_self")(x_self, img_h, img_w)
-        out = {
-            "pts3d_in_self_view": reg_dense_depth(self_out[..., :3]),
-            "conf_self": reg_dense_conf(self_out[..., 3]),
-            "camera_pose": postprocess_pose(pose_raw),
-        }
-        cross_out = DPTAdapter(num_channels=4, dtype=jnp.float32,
-                               name="dpt_cross")(x_cross, img_h, img_w)
-        out["pts3d_in_other_view"] = reg_dense_depth(cross_out[..., :3])
-        out["conf"] = reg_dense_conf(cross_out[..., 3])
+        if "cross" in outputs:
+            token_cross = token
+            for i in range(2):
+                token_cross = ConditionModulationBlock(
+                    self.dec_num_heads, use_rope=True,
+                    rope_base=self.rope_base, dtype=self.dtype,
+                    name=f"final_transform_{i}",
+                )(token_cross, pose_token, pos)
+            x_cross = [t.astype(jnp.float32) for t in hook_tokens[:-1]] \
+                + [token_cross.astype(jnp.float32)]
+            cross_out = DPTAdapter(num_channels=4, dtype=jnp.float32,
+                                   name="dpt_cross")(x_cross, img_h, img_w)
+            out["pts3d_in_other_view"] = reg_dense_depth(cross_out[..., :3])
+            out["conf"] = reg_dense_conf(cross_out[..., 3])
 
-        if self.has_rgb:
+        if self.has_rgb and "rgb" in outputs:
             rgb_out = DPTAdapter(num_channels=3, dtype=jnp.float32,
                                  name="dpt_rgb")(x_self, img_h, img_w)
             eps = 1e-6

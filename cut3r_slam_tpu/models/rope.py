@@ -16,8 +16,6 @@ Semantics (must match the torch fallback exactly):
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

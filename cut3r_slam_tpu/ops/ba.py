@@ -15,7 +15,6 @@ mask, so the whole BA iteration jits once.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -1,8 +1,6 @@
 """SSIM with an 11-tap Gaussian window (loss_utils.py:25-167 semantics)."""
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -34,7 +34,7 @@ from ..geometry.lie import se3_exp, se3_matrix, se3_from_matrix
 from ..geometry.pointmap import pose_vec_to_matrix
 from .keyframe import KeyframeStore, SUBMAP_SIZE
 from .factor_graph import FactorGraph
-from .frontend import TrackFrontend, submap_postprocess, conf_remap
+from .frontend import TrackFrontend, submap_postprocess
 
 __all__ = ["TrackBackend", "pgo_align"]
 

@@ -108,9 +108,11 @@ class TrackFrontend:
 
         @jax.jit
         def _infer(params, imgs_u8):
-            """imgs_u8: (V, H, W, 3) -> submap predictions."""
+            """imgs_u8: (V, H, W, 3) -> submap predictions. Only the
+            self-pointmap + pose heads run (prepare_output use_pose=True
+            consumes nothing else) — skips two DPT pyramids per view."""
             x = normalize_images(imgs_u8)[:, None]  # (V, 1, H, W, 3)
-            out = model.apply(params, x)
+            out = model.apply(params, x, head_outputs=("self", "pose"))
             pose = out["camera_pose"][:, 0]  # (V, 7) wxyz
             from ..geometry.quaternion import wxyz_to_xyzw, quat_to_matrix
             q = wxyz_to_xyzw(pose[:, 3:7])

@@ -26,8 +26,7 @@ schedule, so moments can be masked/reset at reallocated slots.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 import jax

@@ -9,7 +9,6 @@ normalized patch cosine similarity, max over rows, fraction matched > 0.7.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np

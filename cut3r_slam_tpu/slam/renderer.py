@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..ops.gs_raster import RasterizeConfig, rasterize
 from ..geometry.quaternion import (matrix_to_quat, xyzw_to_wxyz)
 from .camera import se3_delta_to_matrix
-from .gaussian_map import GaussianArena, SH2RGB
+from .gaussian_map import SH2RGB
 
 __all__ = ["render_view", "transform_to_frame"]
 

@@ -12,14 +12,14 @@ semantics, exact derivatives.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..geometry.lie import (sim3_exp, sim3_log, sim3_mul, sim3_inv,
-                            sim3_identity, se3_mul, se3_inv)
+                            se3_mul, se3_inv)
 
 __all__ = ["Sim3PGO", "sim3_pgo_solve"]
 

@@ -7,7 +7,6 @@ with N Adam iterations of render RGB loss against the Gaussian map.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import List
 
 import numpy as np

@@ -14,7 +14,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.quaternion import wxyz_to_xyzw, quat_rotate, quat_conjugate
+from ..geometry.quaternion import wxyz_to_xyzw
 from ..geometry.pointmap import geotrf
 
 __all__ = ["regr3d_pose_loss", "conf_loss", "rgb_loss", "cut3r_total_loss"]

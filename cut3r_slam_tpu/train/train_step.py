@@ -9,8 +9,7 @@ full-backprop variant, with `jax.checkpoint` available for memory.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+
 
 import jax
 import jax.numpy as jnp

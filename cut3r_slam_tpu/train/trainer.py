@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models import CUT3R, CUT3RConfig
+from ..models import CUT3R
 from ..parallel import make_mesh, shard_batch, fsdp_shard_params
 from .train_step import make_optimizer, make_train_step
 

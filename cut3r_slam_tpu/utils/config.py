@@ -6,7 +6,7 @@ calib file format ``fx fy cx cy [k1 k2 p1 p2 k3]`` parsed at demo_s.py:51-52.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import yaml
