@@ -62,20 +62,53 @@ class CatDataset(EasyDataset):
         return self.parts[j][i - off]
 
 
+def sample_view_offsets(rng, num_views: int, span: int,
+                        max_interval: int = 25, video_prob: float = 0.5,
+                        fix_interval_prob: float = 0.5,
+                        block_shuffle: int = 16) -> np.ndarray:
+    """Reference sequence sampler (base_multiview_dataset.py:178-260):
+    with prob ``video_prob`` draw an ordered video clip (fixed stride
+    with prob ``fix_interval_prob``, else random strides); otherwise an
+    unordered collection, lightly shuffled within ``block_shuffle``-sized
+    blocks. Returns non-decreasing-capped offsets into [0, span)."""
+    max_interval = max(1, min(max_interval, span // max(num_views - 1, 1)))
+    if rng.random() < video_prob:
+        if rng.random() < fix_interval_prob:
+            stride = int(rng.integers(1, max_interval + 1))
+            offs = np.arange(num_views) * stride
+        else:
+            offs = np.concatenate(
+                [[0], np.cumsum(rng.integers(1, max_interval + 1,
+                                             num_views - 1))])
+        return np.minimum(offs, span - 1)
+    offs = np.sort(rng.choice(span, size=min(num_views, span),
+                              replace=num_views > span))
+    if block_shuffle and num_views > block_shuffle:
+        for s in range(0, num_views, block_shuffle):
+            rng.shuffle(offs[s:s + block_shuffle])
+    return offs
+
+
 @dataclasses.dataclass
 class MultiViewDataset(EasyDataset):
     """Sample V-view tuples from an RGB-D sequence.
 
-    source: indexable with dict items {image, depth?, pose?, K4};
-    num_views: views per sample; span: max temporal distance between the
-    first and last view; resolution: (H, W) output (from the reference's
-    resolution pool concept — one fixed pool entry per dataset instance).
+    source: indexable with dict items {image, depth?, pose? | pose_c2w?,
+    K4, scene?}; num_views: views per sample; span: max temporal distance
+    between the first and last view; resolution: (H, W) output (from the
+    reference's resolution pool concept — one fixed pool entry per
+    dataset instance). Sampling follows the reference's video /
+    collection mix (sample_view_offsets); views never cross a scene
+    boundary when the source labels items with ``scene``.
     """
     source: object
     num_views: int = 4
     span: int = 24
     resolution: Tuple[int, int] = (224, 224)
     seed: int = 777
+    max_interval: int = 25
+    video_prob: float = 0.5
+    fix_interval_prob: float = 0.5
 
     def __len__(self):
         return max(len(self.source) - self.span, 1)
@@ -83,11 +116,20 @@ class MultiViewDataset(EasyDataset):
     def __getitem__(self, i: int) -> List[Dict]:
         rng = np.random.default_rng(self.seed + i)
         start = i % max(len(self.source) - self.span, 1)
-        offs = np.sort(rng.choice(self.span, self.num_views, replace=False))
+        offs = sample_view_offsets(rng, self.num_views, self.span,
+                                   self.max_interval, self.video_prob,
+                                   self.fix_interval_prob)
         views = []
         H, W = self.resolution
+        scene0 = None
+        last_good = None
         for o in offs:
             item = self.source[int(start + o)]
+            if scene0 is None:
+                scene0 = item.get("scene")
+            elif item.get("scene") != scene0 and last_good is not None:
+                item = last_good  # clamp at the scene boundary
+            last_good = item
             img = _resize(item["image"], W, H)
             view = {"img": (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5}
             h0, w0 = item["image"].shape[:2]
@@ -107,6 +149,13 @@ class MultiViewDataset(EasyDataset):
                 view["depth"] = np.asarray(d, np.float32)
             if "pose" in item:
                 view["pose"] = np.asarray(item["pose"], np.float32)
+            elif "pose_c2w" in item:
+                # 4x4 c2w -> [t, q xyzw] (loaders.py sources)
+                from scipy.spatial.transform import Rotation
+                m = np.asarray(item["pose_c2w"], np.float64)
+                q = Rotation.from_matrix(m[:3, :3]).as_quat()
+                view["pose"] = np.concatenate(
+                    [m[:3, 3], q]).astype(np.float32)
             views.append(view)
         return views
 

@@ -213,50 +213,51 @@ def _sim3_W(phi, sigma):
     """
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
     theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
-    s = jnp.exp(sigma)
-    small_th = theta_sq < _SMALL
-    small_sg = jnp.abs(sigma) < 1e-5
+    # expm1 avoids the catastrophic exp(sigma)-1 cancellation that dominates
+    # f32 error for |sigma| < ~1e-2 (regression: TestSim3NegativeSigmaSmallTheta).
+    e = jnp.expm1(sigma)
+    s = 1.0 + e
+    # Branch thresholds are set by f32 cancellation, not mathematical
+    # singularity: below them the closed forms lose >=3 digits, so we switch
+    # to series whose truncation error sits under the f32 noise floor.
+    small_th = theta_sq < 1e-4          # theta < 1e-2
+    small_sg = jnp.abs(sigma) < 0.05
 
-    # A = (s - 1)/sigma   (-> 1 + sigma/2 as sigma -> 0)
-    A = jnp.where(small_sg, 1.0 + sigma / 2.0 + sigma * sigma / 6.0,
-                  _safe_div(s - 1.0, sigma))
+    # A = (e^sigma - 1)/sigma; expm1 keeps this stable down to sigma ~ 0.
+    A = jnp.where(jnp.abs(sigma) < 1e-8,
+                  1.0 + sigma / 2.0 + sigma * sigma / 6.0,
+                  _safe_div(e, sigma))
 
     sig2_th2 = sigma * sigma + theta_sq
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
 
-    # Large-theta expressions (guard sig2_th2 which is >= theta_sq > small)
-    # C_l = (s(sigma sin + theta cos... )) standard form:
-    #   b = (s cos - 1) terms; following Sophus Sim3::exp
-    denom = jnp.maximum(sig2_th2, 1e-24)
-    a_l = _safe_div(s * sin_t * sigma + (1.0 - s * cos_t) * theta, denom * theta)
-    # c coefficient for [phi]x^2: (A - a_l-ish)/theta^2 — derive via:
+    # Large-theta closed forms (Sophus Sim3::exp):
     #   W = A I + B [phi]x + C [phi]x^2 with
     #   B = (s sin * sigma + (1 - s cos) theta) / (theta (sigma^2 + theta^2))
     #   C = (A - ((s cos - 1) sigma + s sin theta) / (sigma^2 + theta^2)) / theta^2
+    denom = jnp.maximum(sig2_th2, 1e-24)
+    a_l = _safe_div(s * sin_t * sigma + (1.0 - s * cos_t) * theta, denom * theta)
     c_inner = _safe_div((s * cos_t - 1.0) * sigma + s * sin_t * theta, denom)
     c_l = _safe_div(A - c_inner, jnp.maximum(theta_sq, 1e-24))
 
-    # Small-theta limits (keep sigma general):
-    #   B -> sigma-dependent limit: (sigma - 1 + s(1))/... use series in theta:
-    # lim_{theta->0} B = (s sigma - s + 1... ) careful: expand sin ~ theta, cos ~ 1:
-    #   B -> (s theta sigma + (1 - s) theta) / (theta sigma^2) = (s sigma + 1 - s)/sigma^2
-    b_s = jnp.where(small_sg, 0.5 + sigma / 3.0,
-                    _safe_div(s * sigma + 1.0 - s, jnp.maximum(sigma * sigma, 1e-24)))
-    #   C -> (A - (s - 1) sigma ... ) expand: ((s-1)sigma + 0)/sigma^2 ... limit:
-    #   lim C = (A - (s*1 - 1)*sigma/sigma^2 ... ) use series: C -> (A - b_s*0 ...)
-    # Simplest robust route: series of W in theta around 0:
-    #   W ~ A I + b_s [phi]x + c_s [phi]x^2 with
-    #   c_s = lim (A - ((s cos -1) sigma + s sin theta)/(sigma^2+theta^2)) / theta^2
-    # expand numerator to O(theta^2):
-    #   (s cos - 1) sigma ~ (s - 1) sigma - s sigma theta^2/2
-    #   s sin theta ~ s theta^2
-    #   => inner ~ [(s-1) sigma + theta^2 (s - s sigma/2)] / (sigma^2 + theta^2)
-    #   A - inner ~ A - (s-1)/sigma * [1/(1 + th^2/sig^2)] - th^2 (s - s sig/2)/sig^2
-    #   ~ th^2 [ (s-1)/sigma^3 - (s - s sigma / 2)/sigma^2 ]
-    c_s_general = _safe_div(s - 1.0, jnp.maximum(sigma ** 3, jnp.where(sigma < 0, -1e-24, 1e-24))) \
-        - _safe_div(s - s * sigma / 2.0, jnp.maximum(sigma * sigma, 1e-24))
-    c_s_tiny = 1.0 / 6.0 + sigma / 8.0  # sigma -> 0, theta -> 0 limit
-    c_s = jnp.where(small_sg, c_s_tiny, c_s_general)
+    # theta -> 0 limits, general sigma:
+    #   B -> (s sigma + 1 - s)/sigma^2,  C -> (s-1)/sigma^3 - (s - s sigma/2)/sigma^2
+    # Both closed forms cancel catastrophically in f32 for small |sigma|;
+    # sigma-series (cross-checked against expm of the 4x4 sim(3) matrix):
+    #   B = 1/2 + sigma/3 + sigma^2/8 + sigma^3/30 + O(sigma^4)
+    #   C = 1/6 + sigma/8 + sigma^2/20 + sigma^3/72 + O(sigma^4)
+    sg2 = sigma * sigma
+    b_series = 0.5 + sigma / 3.0 + sg2 / 8.0 + sg2 * sigma / 30.0
+    c_series = 1.0 / 6.0 + sigma / 8.0 + sg2 / 20.0 + sg2 * sigma / 72.0
+    b_closed = _safe_div(sigma * s - e, jnp.maximum(sg2, 1e-24))
+    # Sign-preserving clamp: sigma^3 keeps sigma's sign; a bare maximum()
+    # would snap negative sigma^3 to an epsilon and explode (s-1)/sigma^3.
+    sig3 = jnp.where(sigma < 0, jnp.minimum(sg2 * sigma, -1e-24),
+                     jnp.maximum(sg2 * sigma, 1e-24))
+    c_closed = _safe_div(e, sig3) - _safe_div(s - s * sigma / 2.0,
+                                              jnp.maximum(sg2, 1e-24))
+    b_s = jnp.where(small_sg, b_series, b_closed)
+    c_s = jnp.where(small_sg, c_series, c_closed)
 
     B = jnp.where(small_th, b_s, a_l)
     C = jnp.where(small_th, c_s, c_l)

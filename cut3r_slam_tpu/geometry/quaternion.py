@@ -42,8 +42,11 @@ def xyzw_to_wxyz(q: jax.Array) -> jax.Array:
 
 
 def quat_normalize(q: jax.Array, eps: float = 1e-12) -> jax.Array:
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(n, eps)
+    # eps inside the sqrt: linalg.norm has a NaN gradient at exactly-zero
+    # input, and this sits on differentiated paths (sim3_log residuals,
+    # BA retractions) where dead-slot quaternions are all-zero.
+    n = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps * eps)
+    return q / n
 
 
 def standardize_quat(q: jax.Array) -> jax.Array:

@@ -155,6 +155,12 @@ def torch_key_to_flax(key: str, w: np.ndarray) -> Tuple[Tuple[str, ...], np.ndar
         if p[1] in ("dpt_self", "dpt_cross", "dpt_rgb"):
             path, val = _convert_dpt(p[2:], w, key)
             return ("downstream_head", p[1]) + path, val
+        if p[1] in ("proj", "cross_proj", "rgb_proj", "self_proj"):
+            # linear-head Mlp projections (heads/linear_head.py:264-293);
+            # self_proj only exists on the plain LinearPts3d variant
+            leaf = "kernel" if p[3] == "weight" else "bias"
+            return ("downstream_head", p[1], p[2], leaf), \
+                _linear(w) if p[3] == "weight" else w
 
     raise KeyError(f"unmapped torch key: {key}")
 

@@ -33,6 +33,7 @@ import flax.linen as nn
 from .blocks import Block, DecoderBlock
 from .heads import DPTPts3dPose
 from .patch_embed import PatchEmbed
+from .rope import apply_rope2d
 
 __all__ = ["CUT3RConfig", "CUT3R", "normalize_images"]
 
@@ -55,6 +56,11 @@ class CUT3RConfig:
     has_rgb: bool = True
     head_type: str = "dpt"  # "dpt" (512 ckpt) or "linear" (224 ckpts)
     compute_dtype: Any = jnp.bfloat16
+    # run the state ∥ image decoder streams as ONE batch-2 stacked program
+    # per layer (they are data-independent within a layer, model.py:660-698)
+    # — merges the 8 projection/MLP matmuls of the two DecoderBlocks into
+    # batched einsums, roughly halving kernel count on the MXU hot loop
+    fused_decoder: bool = True
 
     @staticmethod
     def tiny() -> "CUT3RConfig":
@@ -176,8 +182,10 @@ class CUT3R(nn.Module):
         if c.head_type == "linear":
             from .heads import LinearPts3dPose
             self.downstream_head = LinearPts3dPose(
-                dec_embed_dim=c.dec_embed_dim, patch_size=c.patch_size,
-                has_rgb=c.has_rgb, name="downstream_head")
+                dec_embed_dim=c.dec_embed_dim, dec_num_heads=c.dec_num_heads,
+                patch_size=c.patch_size, has_rgb=c.has_rgb,
+                rope_base=c.rope_base, dtype=jnp.float32,
+                name="downstream_head")
         else:
             self.downstream_head = DPTPts3dPose(
                 dec_embed_dim=c.dec_embed_dim, dec_num_heads=c.dec_num_heads,
@@ -214,12 +222,145 @@ class CUT3R(nn.Module):
         return state_feat.astype(jnp.float32), state_pos, mem.astype(jnp.float32)
 
     # ------------------------------------------------------------------
+    # fused dual-stream decoder (cfg.fused_decoder)
+    # ------------------------------------------------------------------
+    def _stacked_dec_params(self):
+        """Stack the dec_blocks_state/dec_blocks params pairwise along a
+        leading axis of 2. Called ONCE per program invocation, outside the
+        view scan, so the stacks/casts are loop-invariant; consumed by
+        `_fused_dual_layers`. Returns None while initializing (the plain
+        path must create the params first)."""
+        if self.is_initializing() or not self.cfg.fused_decoder:
+            return None
+        p = self.variables["params"]
+        dt = self.cfg.compute_dtype
+        out = []
+        for li in range(self.cfg.dec_depth):
+            ps = p[f"dec_blocks_state_{li}"]
+            pi = p[f"dec_blocks_{li}"]
+
+            def stk(*path, cast=True):
+                a, b = ps, pi
+                for k in path:
+                    a, b = a[k], b[k]
+                s = jnp.stack([jnp.asarray(a), jnp.asarray(b)])
+                return s.astype(dt) if cast else s
+
+            out.append({
+                "norm1": (stk("norm1", "scale", cast=False),
+                          stk("norm1", "bias", cast=False)),
+                "qkv": (stk("attn", "qkv", "kernel"),
+                        stk("attn", "qkv", "bias")),
+                "aproj": (stk("attn", "proj", "kernel"),
+                          stk("attn", "proj", "bias")),
+                "norm_y": (stk("norm_y", "scale", cast=False),
+                           stk("norm_y", "bias", cast=False)),
+                "norm2": (stk("norm2", "scale", cast=False),
+                          stk("norm2", "bias", cast=False)),
+                "cq": (stk("cross_attn", "projq", "kernel"),
+                       stk("cross_attn", "projq", "bias")),
+                "ck": (stk("cross_attn", "projk", "kernel"),
+                       stk("cross_attn", "projk", "bias")),
+                "cv": (stk("cross_attn", "projv", "kernel"),
+                       stk("cross_attn", "projv", "bias")),
+                "cproj": (stk("cross_attn", "proj", "kernel"),
+                          stk("cross_attn", "proj", "bias")),
+                "norm3": (stk("norm3", "scale", cast=False),
+                          stk("norm3", "bias", cast=False)),
+                "fc1": (stk("mlp", "fc1", "kernel"),
+                        stk("mlp", "fc1", "bias")),
+                "fc2": (stk("mlp", "fc2", "kernel"),
+                        stk("mlp", "fc2", "bias")),
+            })
+        return out
+
+    def _fused_dual_layers(self, f_state, f_img, state_pos, pos_img, fused_w):
+        """Run the 12 interleaved decoder layers with the two streams
+        stacked into one batch-2 program (model.py:660-698 semantics; the
+        streams are data-independent within a layer). The state stream is
+        zero-padded from S to the image stream's T tokens; the padded row
+        never enters attention as a query or key (per-stream slices), so
+        numerics match the plain path exactly.
+
+        Returns (f_state (B,S,C) f32, f_img (B,T,C) f32, hooks dict).
+        """
+        c = self.cfg
+        C = c.dec_embed_dim
+        B, S = f_state.shape[:2]
+        T = f_img.shape[1]
+        M = max(S, T)  # both streams padded to the longer token count
+        dt = c.compute_dtype
+        Hs, Hi = c.state_dec_num_heads, c.dec_num_heads
+
+        def ln(x, w):
+            # exact nn.LayerNorm(epsilon=1e-6) in f32; w = (scale, bias) (2,C)
+            x32 = x.astype(jnp.float32)
+            mu = x32.mean(-1, keepdims=True)
+            var = jnp.square(x32 - mu).mean(-1, keepdims=True)
+            y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+            return y * w[0][:, None, None, :] + w[1][:, None, None, :]
+
+        def pad_to(x):  # (B, N, C) -> (B, M, C)
+            n = x.shape[1]
+            return jnp.pad(x, ((0, 0), (0, M - n), (0, 0))) if n < M else x
+
+        def proj(x, w):  # stacked Dense: x (2,B,T,·) @ w[0] (2,·,·) + w[1]
+            return jnp.einsum("sbtc,scd->sbtd", x, w[0]) + w[1][:, None, None, :]
+
+        def attn(q, k, v, heads, qpos, kpos):
+            # q (B,Nq,C), k/v (B,Nk,C) -> (B,Nq,C); rope in the per-head view
+            d = C // heads
+            q = q.reshape(*q.shape[:2], heads, d).swapaxes(1, 2)
+            k = k.reshape(*k.shape[:2], heads, d).swapaxes(1, 2)
+            v = v.reshape(*v.shape[:2], heads, d).swapaxes(1, 2)
+            q = apply_rope2d(q, qpos, c.rope_base)
+            k = apply_rope2d(k, kpos, c.rope_base)
+            out = jax.nn.dot_product_attention(
+                q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+                scale=d ** -0.5)
+            return out.reshape(*out.shape[:2], C)
+
+        X = jnp.stack([pad_to(f_state), pad_to(f_img)]).astype(jnp.float32)
+        hooks = {}
+        for layer, w in enumerate(fused_w, start=1):
+            Y = jnp.stack([X[1], X[0]])  # cross-attn kv: the OTHER stream
+            y_n = ln(Y, w["norm_y"]).astype(dt)
+            # self-attention: fused qkv, per-stream sdpa (head counts differ)
+            h = ln(X, w["norm1"]).astype(dt)
+            qkv = proj(h, w["qkv"])
+            q0, k0, v0 = jnp.split(qkv[0][:, :S], 3, axis=-1)
+            q1, k1, v1 = jnp.split(qkv[1][:, :T], 3, axis=-1)
+            a0 = attn(q0, k0, v0, Hs, state_pos, state_pos)
+            a1 = attn(q1, k1, v1, Hi, pos_img, pos_img)
+            X = X + proj(jnp.stack([pad_to(a0), pad_to(a1)]),
+                         w["aproj"]).astype(jnp.float32)
+            # cross-attention: fused projections, per-stream sdpa
+            h2 = ln(X, w["norm2"]).astype(dt)
+            q = proj(h2, w["cq"])
+            k = proj(y_n, w["ck"])
+            v = proj(y_n, w["cv"])
+            c0 = attn(q[0][:, :S], k[0][:, :T], v[0][:, :T],
+                      Hs, state_pos, pos_img)
+            c1 = attn(q[1][:, :T], k[1][:, :S], v[1][:, :S],
+                      Hi, pos_img, state_pos)
+            X = X + proj(jnp.stack([pad_to(c0), pad_to(c1)]),
+                         w["cproj"]).astype(jnp.float32)
+            # mlp
+            h3 = ln(X, w["norm3"]).astype(dt)
+            m = proj(nn.gelu(proj(h3, w["fc1"]), approximate=False), w["fc2"])
+            X = X + m.astype(jnp.float32)
+            if layer in (c.dec_depth * 2 // 4, c.dec_depth * 3 // 4):
+                hooks[layer] = X[1][:, 1:T]
+        return X[0][:, :S], X[1][:, :T], hooks
+
+    # ------------------------------------------------------------------
     # one recurrent decoder step
     # ------------------------------------------------------------------
     def decode_step(self, state_feat, state_pos, mem, feat_i, pos_i,
                     is_first, init_state_feat, init_mem,
                     update: Optional[jax.Array] = None,
-                    reset: Optional[jax.Array] = None):
+                    reset: Optional[jax.Array] = None,
+                    fused_w=None):
         """One view through the interleaved decoder (model.py:660-698, 755-815).
 
         feat_i: (B, N, enc_dim) encoder tokens; is_first: () bool or (B,) —
@@ -240,14 +381,19 @@ class CUT3R(nn.Module):
         pos_img = jnp.concatenate([pose_pos, pos_i], axis=1)
 
         hooks = {0: feat_i.astype(jnp.float32)}
-        f_state = state_feat
-        for layer, (blk_state, blk_img) in enumerate(
-                zip(self.dec_blocks_state, self.dec_blocks), start=1):
-            f_state_new, _ = blk_state(f_state, f_img, state_pos, pos_img)
-            f_img_new, _ = blk_img(f_img, f_state, pos_img, state_pos)
-            f_state, f_img = f_state_new, f_img_new
-            if layer in (c.dec_depth * 2 // 4, c.dec_depth * 3 // 4):
-                hooks[layer] = f_img[:, 1:].astype(jnp.float32)
+        if fused_w is not None:
+            f_state, f_img, mid = self._fused_dual_layers(
+                state_feat, f_img, state_pos, pos_img, fused_w)
+            hooks.update(mid)
+        else:
+            f_state = state_feat
+            for layer, (blk_state, blk_img) in enumerate(
+                    zip(self.dec_blocks_state, self.dec_blocks), start=1):
+                f_state_new, _ = blk_state(f_state, f_img, state_pos, pos_img)
+                f_img_new, _ = blk_img(f_img, f_state, pos_img, state_pos)
+                f_state, f_img = f_state_new, f_img_new
+                if layer in (c.dec_depth * 2 // 4, c.dec_depth * 3 // 4):
+                    hooks[layer] = f_img[:, 1:].astype(jnp.float32)
         f_state = self.dec_norm_state(f_state).astype(jnp.float32)
         f_img = self.dec_norm(f_img).astype(jnp.float32)
         hooks[c.dec_depth] = f_img
@@ -287,7 +433,8 @@ class CUT3R(nn.Module):
         _, _, hook_list = self.decode_step(
             state_feat, state_pos, mem, feat, pos,
             jnp.zeros((B,), bool), init_state, init_mem,
-            update=jnp.zeros((B,), jnp.float32))
+            update=jnp.zeros((B,), jnp.float32),
+            fused_w=self._stacked_dec_params())
         return self.downstream_head(hook_list, H, W, pos)
 
     # ------------------------------------------------------------------
@@ -306,17 +453,30 @@ class CUT3R(nn.Module):
         N = feat.shape[1]
         feat = feat.reshape(V, B, N, -1)
         pos = pos.reshape(V, B, N, 2)
+        return self.decode_views(feat, pos, H, W, carry, chunk_start)
+
+    def decode_views(self, feat: jax.Array, pos: jax.Array, H: int, W: int,
+                     carry, chunk_start: jax.Array):
+        """Decoder-only chunk over precomputed encoder tokens.
+
+        Enables the reference's TBPTT memory trick (inference.py:90-216):
+        encode ALL views once without grad, then run decoder chunks with
+        grad over these features. feat: (V, B, N, enc_dim); pos: (V, B, N, 2).
+        """
+        V, B, N = feat.shape[:3]
         init_state, state_pos, init_mem = self.init_state(B)
         if carry is None:
             carry = (init_state, init_mem)
         state_feat, mem = carry
+        fused_w = self._stacked_dec_params()  # outside the scan: stacked once
 
         def body(mdl, c, xs):
             sf, mm = c
             feat_i, pos_i, idx = xs
             sf, mm, hook_list = mdl.decode_step(
                 sf, state_pos, mm, feat_i, pos_i,
-                (chunk_start + idx) == 0, init_state, init_mem)
+                (chunk_start + idx) == 0, init_state, init_mem,
+                fused_w=fused_w)
             return (sf, mm), tuple(hook_list)
 
         scan_fn = nn.scan(body, variable_broadcast="params",
@@ -363,12 +523,15 @@ class CUT3R(nn.Module):
         if reset is None:
             reset = jnp.zeros((V, B), bool)
 
+        fused_w = self._stacked_dec_params()  # outside the scan: stacked once
+
         def body(mdl, carry, xs):
             sf, mm = carry
             feat_i, pos_i, upd_i, rst_i, idx = xs
             sf, mm, hook_list = mdl.decode_step(
                 sf, state_pos, mm, feat_i, pos_i, idx == 0,
-                init_state_feat, init_mem, update=upd_i, reset=rst_i)
+                init_state_feat, init_mem, update=upd_i, reset=rst_i,
+                fused_w=fused_w)
             return (sf, mm), tuple(hook_list)
 
         scan_fn = nn.scan(body, variable_broadcast="params",

@@ -160,10 +160,16 @@ class PoseDecoder(nn.Module):
 # postprocess activations (heads/postprocess.py semantics, exp mode)
 # ---------------------------------------------------------------------------
 
-def reg_dense_depth(xyz: jax.Array) -> jax.Array:
-    """exp mode: unit(xyz) * expm1(|xyz|)."""
+def reg_dense_depth(xyz: jax.Array, pos_z: bool = False) -> jax.Array:
+    """exp mode: unit(xyz) * expm1(|xyz|); pos_z flips the sign so z >= 0
+    (postprocess.py:127-129, used by LinearPts3dPose's self path)."""
+    if pos_z:
+        xyz = xyz * jnp.sign(xyz[..., -1:])
     d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    return xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
+    # clamp before expm1: e^60 >> any scene scale, and an unclamped norm
+    # overflows f32 to inf during early training, NaN-ing the scale-normalized
+    # Regr3D loss (inf/inf)
+    return xyz / jnp.maximum(d, 1e-8) * jnp.expm1(jnp.minimum(d, 60.0))
 
 
 def reg_dense_conf(x: jax.Array, vmin: float = 1.0) -> jax.Array:
@@ -176,7 +182,7 @@ def postprocess_pose(out: jax.Array) -> jax.Array:
     trans = out[..., 0:3]
     quats = out[..., 3:7]
     d = jnp.linalg.norm(trans, axis=-1, keepdims=True)
-    scale = jnp.expm1(d) / jnp.maximum(d, 1e-8)
+    scale = jnp.expm1(jnp.minimum(d, 60.0)) / jnp.maximum(d, 1e-8)
     trans = trans * scale
     quats = quats / jnp.maximum(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
     quats = jnp.where(quats[..., 0:1] < 0, -quats, quats)
@@ -184,13 +190,18 @@ def postprocess_pose(out: jax.Array) -> jax.Array:
 
 
 class LinearPts3dPose(nn.Module):
-    """Linear head variant (heads/linear_head.py:170): one Dense from the
-    final decoder tokens to per-patch (3+1)-channel pixel values for both
-    self and cross pointmaps, plus the pose MLP. Cheaper than DPT; used
-    by the 224-resolution CUT3R checkpoints."""
+    """Linear head for pts3d+pose (heads/linear_head.py:246-344): Mlp
+    projections (hidden = mlp_ratio*D) from the final decoder tokens to
+    per-patch (3+1)-channel pixel values; the cross pointmap runs the
+    tokens through two pose-conditioned ConditionModulationBlocks first
+    (``final_transform``), exactly like the DPT head. Used by the
+    224-resolution CUT3R checkpoints."""
     dec_embed_dim: int
+    dec_num_heads: int = 12
     patch_size: int = 16
+    mlp_ratio: float = 4.0
     has_rgb: bool = False
+    rope_base: float = 100.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,27 +214,45 @@ class LinearPts3dPose(nn.Module):
         B, N, _ = token.shape
         ps = self.patch_size
         nh, nw = img_h // ps, img_w // ps
+        hidden = int(self.mlp_ratio * self.dec_embed_dim)
 
         def unpatch(x, c):
-            x = x.reshape(B, nh, nw, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
+            # torch pixel_shuffle layout: feature f = c*ps^2 + dy*ps + dx
+            x = x.reshape(B, nh, nw, c, ps, ps).transpose(0, 1, 4, 2, 5, 3)
             return x.reshape(B, img_h, img_w, c)
 
         out = {}
-        if "pose" in outputs:
+        pose_raw = None
+        if "pose" in outputs or "cross" in outputs:
             pose_raw = PoseDecoder(self.dec_embed_dim, dtype=jnp.float32,
                                    name="pose_head")(
                 pose_token.astype(jnp.float32))
+        if "pose" in outputs:
             out["camera_pose"] = postprocess_pose(pose_raw)
         if "self" in outputs:
-            self_out = unpatch(nn.Dense(ps * ps * 4, name="proj_self")(token), 4)
-            out["pts3d_in_self_view"] = reg_dense_depth(self_out[..., :3])
+            self_out = unpatch(Mlp(hidden, ps * ps * 4, dtype=jnp.float32,
+                                   name="proj")(token), 4)
+            out["pts3d_in_self_view"] = reg_dense_depth(self_out[..., :3],
+                                                        pos_z=True)
             out["conf_self"] = reg_dense_conf(self_out[..., 3])
         if "cross" in outputs:
-            cross_out = unpatch(nn.Dense(ps * ps * 4, name="proj_cross")(token), 4)
+            token_cross = token
+            # pos excludes the pose token slot (dpt/linear heads share this)
+            pos_img = pos[:, -N:] if pos is not None else None
+            for i in range(2):
+                token_cross = ConditionModulationBlock(
+                    self.dec_num_heads, use_rope=True,
+                    rope_base=self.rope_base, dtype=self.dtype,
+                    name=f"final_transform_{i}")(
+                    token_cross, pose_token.astype(jnp.float32), pos_img)
+            cross_out = unpatch(Mlp(hidden, ps * ps * 4, dtype=jnp.float32,
+                                    name="cross_proj")(
+                token_cross.astype(jnp.float32)), 4)
             out["pts3d_in_other_view"] = reg_dense_depth(cross_out[..., :3])
             out["conf"] = reg_dense_conf(cross_out[..., 3])
         if self.has_rgb and "rgb" in outputs:
-            rgb = unpatch(nn.Dense(ps * ps * 3, name="proj_rgb")(token), 3)
+            rgb = unpatch(Mlp(hidden, ps * ps * 3, dtype=jnp.float32,
+                              name="rgb_proj")(token), 3)
             eps = 1e-6
             out["rgb"] = (jax.nn.sigmoid(rgb) * (1 - 2 * eps) + eps - 0.5) * 2
         return out

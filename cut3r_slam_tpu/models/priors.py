@@ -46,14 +46,17 @@ class PriorNet(nn.Module):
         B, H, W, _ = img.shape
         x, pos = PatchEmbed(self.embed_dim, 16, dtype=self.dtype,
                             name="patch_embed")(img.astype(self.dtype))
+        # DPT hook layers at the 1/4, 1/2, 3/4 and final depths; clamped
+        # so tiny test depths (< 4 blocks) still fill all four pyramid
+        # slots (duplicate layers allowed)
+        marks = [max(self.depth * k // 4, 1) - 1 for k in (1, 2, 3, 4)]
         hooks = {}
-        marks = {self.depth // 4 - 1: 0, self.depth // 2 - 1: 1,
-                 3 * self.depth // 4 - 1: 2, self.depth - 1: 3}
         for i in range(self.depth):
             x = Block(self.num_heads, 4.0, use_rope=True, dtype=self.dtype,
                       name=f"blocks_{i}")(x, pos)
-            if i in marks:
-                hooks[marks[i]] = x.astype(jnp.float32)
+            for slot, m in enumerate(marks):
+                if m == i:
+                    hooks[slot] = x.astype(jnp.float32)
         n_out = 1 if self.task == "depth" else 3
         out = DPTAdapter(num_channels=n_out, dtype=jnp.float32,
                          name="dpt")( [hooks[0], hooks[1], hooks[2],

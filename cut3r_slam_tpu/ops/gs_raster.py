@@ -53,6 +53,8 @@ class RasterizeConfig:
     max_per_tile: int = 512    # nearest entries blended per tile
     chunk: int = 128           # Gaussians per blending step
     kernel_size: float = 0.1   # low-pass added to cov2D (config.h / settings)
+    use_pallas: bool = False   # tile blend via the Pallas kernels (TPU);
+    #                            fwd+custom-VJP bwd in ops/gs_raster_pallas
 
     @property
     def tiles_x(self):

@@ -13,13 +13,16 @@ against two L1 objectives (:259-296):
 
 then rigidly transform all submap pointmaps and poses (:300-358).
 
-TPU notes: the PGO runs as ONE jitted `lax.scan` over iterations; the
-submap count is padded to a multiple of 8 with weight masks so recompiles
-only happen when the run crosses a padding bucket. Repeat-closure anchor
-terms (track_backend.py:361-524) reduce to the same seam losses in this
-formulation because previously-closed seams are already consistent and
-stay pinned by the masked-weights; a dedicated matched-anchor term is
-scheduled for the multi-loop path.
+Repeat closures (track_backend.py:361-524) use the multi-loop PGO: every
+previously closed loop keeps its re-predicted LC submap cloud; each cloud
+gets a free SE3 (``matched_lie``) and three L1 objectives couple the
+system — seam consistency, LC-cloud-to-matched-submap anchoring
+(``matched_loss``), and current-pointmap-to-LC-cloud consistency.
+
+TPU notes: each PGO runs as ONE jitted `lax.scan` over iterations; the
+submap count is padded to a multiple of 8 (loop count to a multiple of 4)
+with weight masks so recompiles only happen when the run crosses a
+padding bucket.
 """
 from __future__ import annotations
 
@@ -104,6 +107,83 @@ def pgo_align(submap_pts: jax.Array, seam_conf: jax.Array,
     return xi_full
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def pgo_align_multi(submap_pts: jax.Array, seam_conf: jax.Array,
+                    b_weight: jax.Array, lc_fl: jax.Array,
+                    cur_pts: jax.Array, cur_sub: jax.Array,
+                    matched_sub: jax.Array, c_weight: jax.Array,
+                    iters: int = 2000, lr: float = 5e-4):
+    """Multi-loop PGO with matched-anchor terms (track_backend.py:361-524).
+
+    submap_pts: (B, S+1, h, w, 3); seam_conf: (B, h, w); b_weight: (B,).
+    lc_fl: (C, 2, h, w, 3) first/last slots of each closed loop's LC
+    prediction cloud (in the matched submap's frame); cur_pts: (C, h, w, 3)
+    each loop's current-KF pointmap in world; cur_sub/matched_sub: (C,)
+    submap indices; c_weight: (C,) 1 for real loops.
+
+    Optimizes xi (B-1, 6) submap corrections (first fixed) AND xi_lc (C, 6)
+    free SE3s of the LC clouds. Returns (xi_full (B, 6), xi_lc (C, 6)).
+    """
+    B = submap_pts.shape[0]
+    C = lc_fl.shape[0]
+    first = submap_pts[:, 0].reshape(B, -1, 3)
+    last = submap_pts[:, -1].reshape(B, -1, 3)
+    conf = (seam_conf.reshape(B, -1) > 0).astype(jnp.float32)
+    lc_first = lc_fl[:, 0].reshape(C, -1, 3)
+    lc_last = lc_fl[:, 1].reshape(C, -1, 3)
+    cur = cur_pts.reshape(C, -1, 3)
+    seam_w = b_weight[:-1] * b_weight[1:]
+
+    def loss_fn(params):
+        xi, xi_lc = params
+        xi_full = jnp.concatenate([jnp.zeros((1, 6)), xi], axis=0)
+        T = se3_matrix(se3_exp(xi_full))
+        R, t = T[:, :3, :3], T[:, :3, 3]
+        Tl = se3_matrix(se3_exp(xi_lc))
+        Rl, tl = Tl[:, :3, :3], Tl[:, :3, 3]
+
+        last_a = jnp.einsum("bij,bnj->bni", R, last) + t[:, None, :]
+        first_a = jnp.einsum("bij,bnj->bni", R, first) + t[:, None, :]
+        seam = jnp.abs(last_a[:-1] - first_a[1:]).mean(-1)
+        fl_loss = (seam * conf[:-1] * seam_w[:, None]).sum() / \
+            jnp.maximum((conf[:-1] * seam_w[:, None]).sum(), 1.0)
+
+        # LC clouds under their free transforms
+        lc_first_a = jnp.einsum("cij,cnj->cni", Rl, lc_first) + tl[:, None, :]
+        lc_last_a = jnp.einsum("cij,cnj->cni", Rl, lc_last) + tl[:, None, :]
+        # matched anchor: LC first slot vs the matched submap's first map
+        m_first = first_a[matched_sub]                      # (C, N, 3)
+        matched_loss = (jnp.abs(lc_first_a - m_first).mean((-1, -2))
+                        * c_weight).sum() / jnp.maximum(c_weight.sum(), 1.0)
+        # current consistency: world current map (corrected) vs LC last slot
+        cur_a = jnp.einsum("cij,cnj->cni", R[cur_sub], cur) \
+            + t[cur_sub][:, None, :]
+        lc_loss = (jnp.abs(cur_a - lc_last_a).mean((-1, -2))
+                   * c_weight).sum() / jnp.maximum(c_weight.sum(), 1.0)
+        return fl_loss + lc_loss + matched_loss
+
+    params = (jnp.zeros((B - 1, 6)), jnp.zeros((C, 6)))
+    m = jax.tree.map(jnp.zeros_like, params)
+    v = jax.tree.map(jnp.zeros_like, params)
+
+    def step(carry, i):
+        params, m, v = carry
+        g = jax.grad(loss_fn)(params)
+        m = jax.tree.map(lambda a, b: 0.9 * a + 0.1 * b, m, g)
+        v = jax.tree.map(lambda a, b: 0.999 * a + 0.001 * b * b, v, g)
+        bc1, bc2 = 1 - 0.9 ** (i + 1.0), 1 - 0.999 ** (i + 1.0)
+        params = jax.tree.map(
+            lambda p, mm, vv: p - lr * (mm / bc1)
+            / (jnp.sqrt(vv / bc2) + 1e-8), params, m, v)
+        return (params, m, v), None
+
+    (params, _, _), _ = jax.lax.scan(step, (params, m, v),
+                                     jnp.arange(iters, dtype=jnp.float32))
+    xi, xi_lc = params
+    xi_full = jnp.concatenate([jnp.zeros((1, 6)), xi], axis=0)
+    return xi_full, xi_lc
+
+
 @jax.jit
 def _apply_pgo(submap_pts: jax.Array, xi: jax.Array):
     """Rigidly transform all submap pointmaps by their corrections."""
@@ -129,6 +209,11 @@ class TrackBackend:
         self.freeze_counter = 0
         self.freeze_after = freeze_after
         self.closed: List[int] = []
+        # closed-loop history for repeat closures (track_backend.py:371-388):
+        # per loop, the matched/current KF indices and the LC prediction
+        # cloud's first+last slots (2, h, w, 3) kept in world-consistent form
+        self.closed_loop: Dict[str, List] = {
+            "idx_current": [], "idx_matched": [], "lc_fl": []}
 
     # ------------------------------------------------------------------
     def lc_track(self, matched_idx: int, current_idx: int):
@@ -149,17 +234,22 @@ class TrackBackend:
         poses, depths, pts_world, pts_ds, conf, conf_ds = submap_postprocess(
             pts_self, conf_self, c2w, anchor_c2w, prev_depth0,
             init=False, ds=self.fe.ds)
-        return pts_ds[-1], conf_ds[-1]
+        return pts_ds, conf_ds
 
     # ------------------------------------------------------------------
     def loop_closure(self, matched_idx: int, current_idx: int
                      ) -> Dict[str, np.ndarray]:
-        """PGO over submaps [0, current submap]; returns the LC packet."""
+        """PGO over submaps [0, current submap]; returns the LC packet.
+
+        First closure follows loop_closure_init (track_backend.py:220-358);
+        repeat closures use the multi-loop PGO with matched-anchor terms
+        and free per-loop LC-cloud transforms (:361-524)."""
         kf = self.kf
-        pts_lc, conf_lc = self.lc_track(matched_idx, current_idx)
+        lc_pts_all, conf_lc = self.lc_track(matched_idx, current_idx)
         sub_cur = current_idx // SUBMAP_SIZE
         B = sub_cur + 1
-        Bp = ((B + 7) // 8) * 8  # pad bucket
+        # pad bucket, clamped to the store's preallocated submap count
+        Bp = min(((B + 7) // 8) * 8, kf.submap_pts.shape[0])
 
         submap_pts = kf.submap_pts[:Bp]
         seam_conf = kf.submap_conf[:Bp, -1]
@@ -167,30 +257,72 @@ class TrackBackend:
         b_weight = jnp.asarray(
             (np.arange(Bp) < B).astype(np.float32))
 
-        xi = pgo_align(submap_pts, seam_conf, pts_current, pts_lc,
-                       b_weight, iters=self.loop_iters)
+        lc_fl_new = jnp.stack([lc_pts_all[0], lc_pts_all[-1]])  # (2, h, w, 3)
+        if not self.closed_loop["idx_current"]:
+            xi = pgo_align(submap_pts, seam_conf, pts_current,
+                           lc_pts_all[-1], b_weight, iters=self.loop_iters)
+            xi_lc = jnp.zeros((1, 6))
+            lc_fls = lc_fl_new[None]
+        else:
+            # assemble loop history (+ new loop) padded to a bucket of 4
+            idx_cur_all = self.closed_loop["idx_current"] + [current_idx]
+            idx_m_all = self.closed_loop["idx_matched"] + [matched_idx]
+            lc_fls = jnp.stack(self.closed_loop["lc_fl"] + [lc_fl_new])
+            C = len(idx_cur_all)
+            Cp = ((C + 3) // 4) * 4
+            pad = Cp - C
+            if pad:
+                lc_fls = jnp.concatenate(
+                    [lc_fls, jnp.zeros((pad,) + lc_fls.shape[1:])])
+            cur_sub = np.minimum(
+                np.asarray(idx_cur_all + [0] * pad) // SUBMAP_SIZE, B - 1)
+            matched_sub = np.minimum(
+                np.asarray(idx_m_all + [0] * pad) // SUBMAP_SIZE, B - 1)
+            cur_pts = kf.submap_pts[jnp.asarray(cur_sub),
+                                    jnp.asarray(np.asarray(
+                                        idx_cur_all + [0] * pad)
+                                        % SUBMAP_SIZE)]
+            c_weight = jnp.asarray((np.arange(Cp) < C).astype(np.float32))
+            xi, xi_lc = pgo_align_multi(
+                submap_pts, seam_conf, b_weight, lc_fls, cur_pts,
+                jnp.asarray(cur_sub, jnp.int32),
+                jnp.asarray(matched_sub, jnp.int32), c_weight,
+                iters=self.loop_iters)
+            lc_fls = lc_fls[:C]
+            xi_lc = xi_lc[:C]
         new_pts, T = _apply_pgo(submap_pts, xi)
+
+        # keep the LC clouds world-consistent for the next closure
+        # (track_backend.py:506-510): apply each cloud's free transform
+        Tl = se3_matrix(se3_exp(xi_lc))
+        lc_fls_new = jnp.einsum("cij,cfhwj->cfhwi", Tl[:, :3, :3], lc_fls) \
+            + Tl[:, :3, 3][:, None, None, None, :]
+        self.closed_loop["idx_current"].append(current_idx)
+        self.closed_loop["idx_matched"].append(matched_idx)
+        self.closed_loop["lc_fl"] = [lc_fls_new[i]
+                                     for i in range(lc_fls_new.shape[0])]
 
         # writeback: pointmaps + poses (:300-358)
         kf.submap_pts = kf.submap_pts.at[:Bp].set(new_pts)
         Tn = np.asarray(T)
         n_kf = min(kf.count, B * SUBMAP_SIZE + 1)
         cam_idx = list(range(0, n_kf))
-        new_poses = []
-        for i in cam_idx:
-            b = min(i // SUBMAP_SIZE, B - 1)
-            c2w = pose_vec_to_matrix(jnp.asarray(kf.pose[i]))
-            T_new = Tn[b] @ np.asarray(c2w)
-            kf.pose[i] = np.asarray(se3_from_matrix(jnp.asarray(T_new)))
-            new_poses.append(kf.pose[i].copy())
-        # per-KF half-res pointmaps buffer for the factor graph
-        if hasattr(kf, "pts_ds"):
-            for i in cam_idx:
-                b = min(i // SUBMAP_SIZE, B - 1)
-                R = jnp.asarray(Tn[b][:3, :3])
-                t = jnp.asarray(Tn[b][:3, 3])
-                kf.pts_ds = kf.pts_ds.at[i].set(
-                    jnp.einsum("ij,hwj->hwi", R, kf.pts_ds[i]) + t)
+        # one batched pose correction for all affected keyframes
+        bsel_kf = np.minimum(np.arange(n_kf) // SUBMAP_SIZE, B - 1)
+        c2w_kf = jax.vmap(pose_vec_to_matrix)(jnp.asarray(kf.pose[:n_kf]))
+        T_new = jnp.asarray(Tn[bsel_kf]) @ c2w_kf
+        new_poses_arr = np.asarray(jax.vmap(se3_from_matrix)(T_new))
+        kf.pose[:n_kf] = new_poses_arr
+        new_poses = [new_poses_arr[i].copy() for i in range(n_kf)]
+        # per-KF half-res pointmaps buffer for the factor graph: one
+        # vectorized gather/transform over all affected keyframes
+        ci = np.asarray(cam_idx, np.int64)
+        bsel = np.minimum(ci // SUBMAP_SIZE, B - 1)
+        Rb = jnp.asarray(Tn[bsel, :3, :3])            # (n, 3, 3)
+        tb = jnp.asarray(Tn[bsel, :3, 3])             # (n, 3)
+        moved = jnp.einsum("nij,nhwj->nhwi", Rb, kf.pts_ds[jnp.asarray(ci)]) \
+            + tb[:, None, None, :]
+        kf.pts_ds = kf.pts_ds.at[jnp.asarray(ci)].set(moved)
 
         self.closed.append(current_idx)
         xi_np = np.asarray(xi[:B])
@@ -217,8 +349,8 @@ class TrackBackend:
             cand = cand[cand < i - self.loop_gap]
             if len(cand) == 0:
                 continue
-            c2w_all = np.stack([np.asarray(pose_vec_to_matrix(
-                jnp.asarray(kf.pose[j]))) for j in range(kf.capacity)])
+            c2w_all = np.asarray(jax.vmap(pose_vec_to_matrix)(
+                jnp.asarray(kf.pose)))
             pick = self.graph.nms(cand, i, c2w_all, kf.pts_ds, kf.featI,
                                   K4, th=self.nms_thresh)
             if pick is None:

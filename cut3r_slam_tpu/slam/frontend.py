@@ -150,12 +150,8 @@ class TrackFrontend:
         kf.set_submap(sub, pts_ds[:n], conf_ds[:n],
                       slot0=0)
         # per-KF half-res pointmaps for the factor graph
-        if not hasattr(kf, "pts_ds"):
-            h, w = pts_ds.shape[1:3]
-            kf.pts_ds = jnp.zeros((kf.capacity, h, w, 3), jnp.float32)
-        for i in range(t0, t1):
-            kf.pts_ds = jax.lax.dynamic_update_index_in_dim(
-                kf.pts_ds, pts_ds[i - t0], i, 0)
+        kf.pts_ds = jax.lax.dynamic_update_slice(
+            kf.pts_ds, pts_ds[:n], (t0, 0, 0, 0))
 
         # ---- covisibility graph ----
         if init:

@@ -62,6 +62,23 @@ class KeyframeStore:
             (n_submaps, SUBMAP_SIZE + 1, H // 2, W // 2, 3), jnp.float32)
         self.submap_conf = jnp.zeros(
             (n_submaps, SUBMAP_SIZE + 1, H // 2, W // 2), jnp.float32)
+        # per-KF half-res world pointmaps for the factor graph's
+        # reprojection-overlap kernels (written by the frontend after each
+        # submap inference; rigidly re-transformed on loop closure)
+        self.pts_ds = jnp.zeros((capacity, H // 2, W // 2, 3), jnp.float32)
+
+        # mono-prior maps (Omnidata-style PriorNet, motion_filter.py:58-66
+        # hook); allocated lazily by ensure_prior_buffers() when the
+        # config enables the prior path
+        self.prior_depth: Optional[np.ndarray] = None
+        self.prior_normal: Optional[np.ndarray] = None
+
+    def ensure_prior_buffers(self):
+        if self.prior_depth is None:
+            H, W = self.img_hw
+            self.prior_depth = np.zeros((self.capacity, H, W), np.float32)
+            self.prior_normal = np.zeros((self.capacity, H, W, 3),
+                                         np.float32)
 
     # ------------------------------------------------------------------
     def append(self, tstamp: int, image: np.ndarray,

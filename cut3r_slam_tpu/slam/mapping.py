@@ -71,6 +71,8 @@ class MappingConfig:
     max_per_tile: int = 512
     kernel_size: float = 0.1
     compensate_exposure: bool = True
+    # "auto": Pallas tile kernels on TPU, XLA scan elsewhere
+    raster_backend: str = "auto"  # "auto" | "pallas" | "xla"
 
 
 def _mask_grads(grads, alive):
@@ -105,9 +107,13 @@ class MappingBackend:
     def __init__(self, cfg: MappingConfig, K4: np.ndarray):
         self.cfg = cfg
         self.K4 = jnp.asarray(K4, jnp.float32)
+        use_pallas = (cfg.raster_backend == "pallas"
+                      or (cfg.raster_backend == "auto"
+                          and jax.default_backend() == "tpu"))
         self.raster_cfg = RasterizeConfig(
             height=cfg.height, width=cfg.width,
-            max_per_tile=cfg.max_per_tile, kernel_size=cfg.kernel_size)
+            max_per_tile=cfg.max_per_tile, kernel_size=cfg.kernel_size,
+            use_pallas=use_pallas)
         self.arena = GaussianArena.empty(cfg.capacity)
         self.adam = _adam_init(self.arena.params())
         self.cams = CameraBuffer.empty(cfg.cam_capacity, cfg.height, cfg.width)
@@ -270,25 +276,39 @@ class MappingBackend:
                                  static_argnames=("iters", "optimize_pose"))
 
         # ------------------------- global BA segment -------------------
+        # Like the reference global_BA (gs_backend_per_frame.py:946-1058),
+        # each iteration jointly optimizes the random view's se3 pose delta
+        # and exposure (keyframe_optimizers + update_pose each iteration),
+        # not just the Gaussians. Per-view Adam moments live in fixed
+        # (cam_capacity, ...) buffers gathered/scattered at the view index.
         def gba_segment(arena: GaussianArena, adam, cams: CameraBuffer,
                         view_idx, rng):
             params = arena.params()
             stats = (arena.grad_accum, arena.grad_accum_abs, arena.denom,
                      arena.max_radii)
+            C = cams.w2c.shape[0]
+            pd_lrs = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
+            zero_pv = {
+                "t": jnp.zeros((C, 3)), "r": jnp.zeros((C, 3)),
+                "a": jnp.zeros((C, 3, 3)), "b": jnp.zeros((C, 3))}
+            pv_state = (zero_pv, jax.tree.map(jnp.zeros_like, zero_pv),
+                        jnp.zeros((C,), jnp.int32))
 
             def one_iter(carry, vi):
-                params, adam, stats = carry
+                (params, adam, stats, w2c_all, expa_all, expb_all,
+                 pv_state) = carry
                 ga, gaa, den, mr = stats
                 image = cams.image[vi].astype(jnp.float32) / 255.0
                 depth_gt = cams.depth[vi].astype(jnp.float32)
-                w2c = cams.w2c[vi]
-                expa = cams.exposure_a[vi]
-                expb = cams.exposure_b[vi]
+                w2c = w2c_all[vi]
+                pose_exp = {"t": jnp.zeros(3), "r": jnp.zeros(3),
+                            "a": expa_all[vi], "b": expb_all[vi]}
 
-                def loss_fn(params, probe):
+                def loss_fn(params, probe, pe):
                     out = render_view(params, arena.alive, w2c, K4, rcfg,
+                                      trans_delta=pe["t"], rot_delta=pe["r"],
                                       means2d_probe=probe)
-                    img = out["color"] @ expa + expb
+                    img = out["color"] @ pe["a"] + pe["b"]
                     d = out["depth"]
                     rgb_l = 0.8 * jnp.abs(image - img).mean() \
                         + 0.2 * (1 - ssim(img, image))
@@ -314,11 +334,34 @@ class MappingBackend:
                     return loss, (out["radii"], vis)
 
                 probe = jnp.zeros((params["xyz"].shape[0], 2))
-                (loss, (radii, vis)), (gp, gprobe) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1), has_aux=True)(params, probe)
+                (loss, (radii, vis)), (gp, gprobe, gpe) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                    params, probe, pose_exp)
                 gp = _mask_grads(gp, arena.alive)
                 gprobe = jnp.where(arena.alive[:, None], gprobe, 0.0)
                 params, adam = _adam_step(params, gp, adam, self._lrs())
+
+                # per-view Adam on pose delta + exposure, then fold the
+                # delta into w2c (update_pose) and store back at vi
+                pv_m, pv_v, pv_t = pv_state
+                t_vi = pv_t[vi] + 1
+                bc1 = 1 - 0.9 ** t_vi.astype(jnp.float32)
+                bc2 = 1 - 0.999 ** t_vi.astype(jnp.float32)
+                lrs_pe = {"t": pd_lrs["t"], "r": pd_lrs["r"],
+                          "a": cfg.exposure_lr, "b": cfg.exposure_lr}
+                new_pe = {}
+                for k in pose_exp:
+                    mk = 0.9 * pv_m[k][vi] + 0.1 * gpe[k]
+                    vk = 0.999 * pv_v[k][vi] + 0.001 * gpe[k] * gpe[k]
+                    pv_m[k] = pv_m[k].at[vi].set(mk)
+                    pv_v[k] = pv_v[k].at[vi].set(vk)
+                    new_pe[k] = pose_exp[k] - lrs_pe[k] * (mk / bc1) \
+                        / (jnp.sqrt(vk / bc2) + 1e-8)
+                pv_state = (pv_m, pv_v, pv_t.at[vi].set(t_vi))
+                new_w2c = se3_delta_to_matrix(new_pe["t"], new_pe["r"]) @ w2c
+                w2c_all = w2c_all.at[vi].set(new_w2c)
+                expa_all = expa_all.at[vi].set(new_pe["a"])
+                expb_all = expb_all.at[vi].set(new_pe["b"])
                 # densification stats (gaussian_model.py:779-783); the
                 # probe grad xy-norm feeds grad_accum, its magnitude also
                 # feeds the abs channel (z-components unused in our
@@ -328,15 +371,18 @@ class MappingBackend:
                 gaa = gaa + jnp.where(vis, gnorm, 0.0)
                 den = den + vis.astype(jnp.float32)
                 mr = jnp.maximum(mr, jnp.where(vis, radii, 0.0))
-                return (params, adam, (ga, gaa, den, mr)), loss
+                return (params, adam, (ga, gaa, den, mr), w2c_all,
+                        expa_all, expb_all, pv_state), loss
 
-            (params, adam, stats), losses = jax.lax.scan(
-                one_iter, (params, adam, stats), view_idx)
+            carry0 = (params, adam, stats, cams.w2c, cams.exposure_a,
+                      cams.exposure_b, pv_state)
+            (params, adam, stats, w2c_all, expa_all, expb_all, _), losses = \
+                jax.lax.scan(one_iter, carry0, view_idx)
             arena = arena.with_params(params)
             arena = dataclasses.replace(
                 arena, grad_accum=stats[0], grad_accum_abs=stats[1],
                 denom=stats[2], max_radii=stats[3])
-            return arena, adam, losses.mean()
+            return arena, adam, w2c_all, expa_all, expb_all, losses.mean()
 
         self._gba_segment = jax.jit(gba_segment)
 
@@ -482,8 +528,12 @@ class MappingBackend:
             self._rng, k1, k2 = jax.random.split(self._rng, 3)
             vi = jax.random.choice(k1, jnp.asarray(view_ids, jnp.int32),
                                    shape=(seg,))
-            self.arena, self.adam, _ = self._gba_segment(
-                self.arena, self.adam, self.cams, vi, k2)
+            self.arena, self.adam, w2c_all, expa_all, expb_all, _ = \
+                self._gba_segment(self.arena, self.adam, self.cams, vi, k2)
+            # joint pose+exposure writeback (reference update_pose per iter)
+            self.cams = dataclasses.replace(
+                self.cams, w2c=w2c_all, exposure_a=expa_all,
+                exposure_b=expb_all)
             if densify and (s == max(n_segs // 2 - 1, 0)):
                 self._rng, k3 = jax.random.split(self._rng)
                 self.arena = densify_and_prune(

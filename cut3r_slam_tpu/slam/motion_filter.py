@@ -36,13 +36,21 @@ def patch_overlap_ratio(feat0: jax.Array, feat1: jax.Array,
 
 class MotionFilter:
     def __init__(self, model: CUT3R, params, keyframes: KeyframeStore,
-                 thresh: float = 0.9, skip: int = 5, kf_every: int = 0):
+                 thresh: float = 0.9, skip: int = 5, kf_every: int = 0,
+                 prior=None):
         self.model = model
         self.params = params
         self.keyframes = keyframes
         self.thresh = float(thresh)
         self.skip = int(skip)
         self.kf_every = int(kf_every)
+        # optional mono-prior hook (the reference computes Omnidata
+        # depth/normal priors per keyframe at this exact call-site,
+        # motion_filter.py:58-66): prior = (depth_fn, normal_fn), each
+        # (H, W, 3) u8 -> map; outputs stored in the KF prior buffers
+        self.prior = prior
+        if prior is not None:
+            keyframes.ensure_prior_buffers()
 
         @jax.jit
         def _encode(params, img_u8):
@@ -68,8 +76,9 @@ class MotionFilter:
         force = kf.count == 0 or last or second_last
         if force:
             feat = self.encode(image_u8)
-            kf.append(tstamp, image_u8, feat, pose, depth, intrinsic,
-                      image_map, intrinsic_map)
+            i = kf.append(tstamp, image_u8, feat, pose, depth, intrinsic,
+                          image_map, intrinsic_map)
+            self._store_priors(i, image_u8)
             return True
 
         take = False
@@ -83,6 +92,18 @@ class MotionFilter:
             ratio = float(patch_overlap_ratio(kf.last_feat(), feat))
             take = ratio < self.thresh
         if take:
-            kf.append(tstamp, image_u8, feat, pose, depth, intrinsic,
-                      image_map, intrinsic_map)
+            i = kf.append(tstamp, image_u8, feat, pose, depth, intrinsic,
+                          image_map, intrinsic_map)
+            self._store_priors(i, image_u8)
         return take
+
+    def _store_priors(self, idx: int, image_u8: np.ndarray):
+        if self.prior is None:
+            return
+        depth_fn, normal_fn = self.prior
+        kf = self.keyframes
+        if depth_fn is not None:
+            kf.prior_depth[idx] = np.asarray(depth_fn(image_u8), np.float32)
+        if normal_fn is not None:
+            kf.prior_normal[idx] = np.asarray(normal_fn(image_u8),
+                                              np.float32)

@@ -65,6 +65,11 @@ def render_view(params: Dict[str, jax.Array], alive: jax.Array,
     means_cam, quats_cam = transform_to_frame(params, w2c)
     opac = jax.nn.sigmoid(params["opacity_logit"]) * alive.astype(jnp.float32)
     colors = jnp.clip(SH2RGB(params["f_dc"]), 0.0, None)
+    if cfg.use_pallas:
+        from ..ops.gs_raster_pallas import rasterize_pallas
+        return rasterize_pallas(means_cam, quats_cam,
+                                jnp.exp(params["log_scales"]), opac, colors,
+                                K4, cfg, bg=bg, means2d_probe=means2d_probe)
     return rasterize(means_cam, quats_cam, jnp.exp(params["log_scales"]),
                      opac, colors, K4, cfg, bg=bg,
                      means2d_probe=means2d_probe)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..geometry.lie import (sim3_exp, sim3_log, sim3_mul, sim3_inv,
                             se3_mul, se3_inv)
 
-__all__ = ["Sim3PGO", "sim3_pgo_solve"]
+__all__ = ["Sim3PGO", "sim3_pgo_solve", "PGBABuffer"]
 
 
 def _residual(g_all, ii, jj, rel_meas):
@@ -126,3 +126,71 @@ class Sim3PGO:
             jnp.asarray(self.jj, jnp.int32),
             jnp.asarray(np.stack(self.rel)),
             jnp.asarray(self.w, jnp.float32), iters=iters, fixed=fixed))
+
+
+class PGBABuffer:
+    """Live-path Sim(3) PGBA (pgo_buffer.py:65-216 semantics, single
+    controller): accumulate odometry constraints as the frontend tracks
+    keyframes, add loop constraints when the loop backend fires, and
+    refine all keyframe poses with the Gauss-Newton Sim(3) solver.
+
+    Shape discipline: pose count is padded to a multiple of 32 and the
+    edge list to a multiple of 64 (zero-weight identity self-loops) so
+    ``sim3_pgo_solve`` recompiles only across buckets.
+
+    The reference weights constraints by BA-residual covariance
+    (pgo_buffer.py:98-115); here odometry edges get weight 1 and loop
+    edges ``loop_weight`` — the covariance refinement is subsumed by the
+    frontend's conf-weighted scale alignment upstream.
+    """
+
+    def __init__(self, loop_weight: float = 2.0, iters: int = 6):
+        self.pgo = Sim3PGO()
+        self.loop_weight = loop_weight
+        self.iters = iters
+        self._odo_upto = 0  # sequential edges exist for [0, _odo_upto)
+
+    def on_new_keyframes(self, kf, upto: int):
+        """Add odometry edges i->i+1 for newly tracked keyframes."""
+        for i in range(max(self._odo_upto - 1, 0), upto - 1):
+            rel = np.asarray(se3_mul(se3_inv(jnp.asarray(kf.pose[i])),
+                                     jnp.asarray(kf.pose[i + 1])))
+            self.pgo.add_relative_se3(i, i + 1, rel, 1.0)
+        self._odo_upto = max(self._odo_upto, upto)
+
+    def on_loop(self, matched: int, current: int, kf):
+        """Add a loop-closure edge from the (LC-corrected) poses."""
+        rel = np.asarray(se3_mul(se3_inv(jnp.asarray(kf.pose[matched])),
+                                 jnp.asarray(kf.pose[current])))
+        self.pgo.add_relative_se3(matched, current, rel, self.loop_weight)
+
+    def solve_and_writeback(self, kf) -> np.ndarray:
+        """Refine kf.pose[:count] in place; depths scale by each pose's
+        Sim3 scale. Returns the (n, 8) refined Sim3 poses."""
+        n = kf.count
+        if n < 2 or not self.pgo.ii:
+            return np.zeros((0, 8), np.float32)
+        n_pad = ((n + 31) // 32) * 32
+        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
+                        (n_pad, 1))
+        poses[:n] = kf.pose[:n]
+        ii = list(self.pgo.ii)
+        jj = list(self.pgo.jj)
+        rel = list(self.pgo.rel)
+        w = list(self.pgo.w)
+        e_pad = ((len(ii) + 63) // 64) * 64
+        ident = np.array([0, 0, 0, 0, 0, 0, 1, 1], np.float32)
+        while len(ii) < e_pad:
+            ii.append(0)
+            jj.append(0)
+            rel.append(ident)
+            w.append(0.0)
+        g0 = np.concatenate([poses, np.ones((n_pad, 1), np.float32)], 1)
+        g = np.asarray(sim3_pgo_solve(
+            jnp.asarray(g0), jnp.asarray(ii, jnp.int32),
+            jnp.asarray(jj, jnp.int32), jnp.asarray(np.stack(rel)),
+            jnp.asarray(w, jnp.float32), iters=self.iters, fixed=1))
+        kf.pose[:n] = g[:n, :7]
+        scales = g[:n, 7]
+        kf.depth[:n] *= scales[:, None, None]
+        return g[:n]

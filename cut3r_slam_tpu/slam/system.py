@@ -48,11 +48,16 @@ class SLAMSystem:
         self.keyframes = KeyframeStore(
             buffer, img_hw, feat_tokens, model.cfg.enc_embed_dim,
             map_hw=map_hw)
+        mf_cfg = tcfg.get("motion_filter", {})
+        prior = None
+        if bool(mf_cfg.get("use_prior", False)):
+            prior = self._build_prior_fns(mf_cfg, (H, W))
         self.filter = MotionFilter(
             model, params, self.keyframes,
-            thresh=tcfg.get("motion_filter", {}).get("thresh", 0.9),
-            skip=tcfg.get("motion_filter", {}).get("skip", 5),
-            kf_every=tcfg.get("motion_filter", {}).get("kf_every", 0))
+            thresh=mf_cfg.get("thresh", 0.9),
+            skip=mf_cfg.get("skip", 5),
+            kf_every=mf_cfg.get("kf_every", 0),
+            prior=prior)
         self.graph = FactorGraph()
         self.frontend = TrackFrontend(model, params, self.keyframes,
                                       self.graph)
@@ -62,6 +67,16 @@ class SLAMSystem:
             loop_gap=tcfg.get("backend", {}).get("loop_gap", 8),
             nms_thresh=tcfg.get("backend", {}).get("nms_thresh", 0.4))
         self.enable_loop = enable_loop
+
+        # live Sim(3) PGBA (pgo_buffer.py semantics), config-gated like the
+        # ScanNet config's Tracking.pgba section
+        pgba_cfg = tcfg.get("pgba", {})
+        self.pgba = None
+        if bool(pgba_cfg.get("active", False)):
+            from .sim3_pgo import PGBABuffer
+            self.pgba = PGBABuffer(
+                loop_weight=float(pgba_cfg.get("loop_weight", 2.0)),
+                iters=int(pgba_cfg.get("iters", 6)))
 
         self.mapper: Optional[MappingBackend] = None
         self.enable_mapping = enable_mapping
@@ -76,10 +91,54 @@ class SLAMSystem:
         self.map_hw = map_hw
         self.output_dir = output_dir
         self.mapping_iters = mcfg.get("iterations", 100)
+        self.finalize_iters = cfg.get("opt_params", {}).get(
+            "position_lr_max_steps",
+            trcfg.get("position_lr_max_steps", 2000))
         self.keep_all_frames = bool(cfg.get("keep_all_frames", True))
         self.images: Dict[int, np.ndarray] = {}
+        # optional per-stage profiler (utils/profiling.StageTimer)
+        self.timer = None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _build_prior_fns(mf_cfg, img_hw):
+        """Omnidata-style mono-prior hook (hislam2/motion_filter.py:58-66):
+        PriorNet depth + normal per keyframe, stored in the KF buffers.
+        Weights come from ``prior_ckpt`` (npz of flax params trained with
+        train/) or random init when absent (architecture smoke path)."""
+        import jax as _jax
+        from ..models.priors import PriorNet, normalize_imagenet
+        dim = int(mf_cfg.get("prior_dim", 384))
+        depth_n = PriorNet(task="depth", embed_dim=dim,
+                           depth=int(mf_cfg.get("prior_depth_blocks", 12)),
+                           num_heads=max(dim // 64, 1))
+        normal_n = PriorNet(task="normal", embed_dim=dim,
+                            depth=int(mf_cfg.get("prior_depth_blocks", 12)),
+                            num_heads=max(dim // 64, 1))
+        H, W = img_hw
+        dummy = jnp.zeros((1, H, W, 3))
+        ckpt = mf_cfg.get("prior_ckpt")
+        if ckpt:
+            import flax
+            raw = np.load(ckpt, allow_pickle=True)
+            pd = flax.traverse_util.unflatten_dict(
+                {tuple(k.split("/")): raw[k] for k in raw.files
+                 if k.startswith("depth/")}, sep=None)
+            pn = flax.traverse_util.unflatten_dict(
+                {tuple(k.split("/")): raw[k] for k in raw.files
+                 if k.startswith("normal/")}, sep=None)
+            params_d = {"params": pd.get("depth", pd)}
+            params_n = {"params": pn.get("normal", pn)}
+        else:
+            params_d = depth_n.init(_jax.random.PRNGKey(0), dummy)
+            params_n = normal_n.init(_jax.random.PRNGKey(1), dummy)
+        d_jit = _jax.jit(lambda img: depth_n.apply(
+            params_d, normalize_imagenet(img)[None])[0])
+        n_jit = _jax.jit(lambda img: normal_n.apply(
+            params_n, normalize_imagenet(img)[None])[0])
+        return (lambda img: d_jit(jnp.asarray(img)),
+                lambda img: n_jit(jnp.asarray(img)))
+
     def _init_mapper(self, K4_map):
         mh, mw = self.map_hw
         self.mapper = MappingBackend(
@@ -95,22 +154,41 @@ class SLAMSystem:
             # full-frame host store for terminate-time densification and
             # trajectory filling (hi2.py:103 self.images dict)
             self.images[t] = img_map if img_map is not None else img
-        took = self.filter(t, img, intrinsic=K4, second_last=second_last,
-                           last=last, image_map=img_map,
-                           intrinsic_map=K4_map)
-        run_backend, viz_range, submap_idx = self.frontend.run(t, last)
+        import contextlib
+        tm = self.timer if self.timer is not None \
+            else (lambda _s: contextlib.nullcontext())
+        with tm("filter"):
+            took = self.filter(t, img, intrinsic=K4, second_last=second_last,
+                               last=last, image_map=img_map,
+                               intrinsic_map=K4_map)
+        with tm("frontend"):
+            run_backend, viz_range, submap_idx = self.frontend.run(t, last)
 
         if run_backend and self.enable_loop:
-            updates = self.backend.run(self.frontend.t1)
+            with tm("loop_backend"):
+                updates = self.backend.run(self.frontend.t1)
             if updates is not None and self.mapper is not None:
                 self.mapper.gaussian_update(
                     updates["submap_idx"], updates["pose_updates"],
                     list(updates["camera_idx"]),
                     [np.linalg.inv(np.asarray(pose_vec_to_matrix(
                         jnp.asarray(p)))) for p in updates["camera_pose"]])
+            if updates is not None and self.pgba is not None:
+                # loop edge from the LC-corrected poses, then a global
+                # Sim(3) smoothing pass over all keyframes
+                self.pgba.on_new_keyframes(self.keyframes,
+                                           self.keyframes.count)
+                self.pgba.on_loop(self.backend.closed_loop["idx_matched"][-1],
+                                  self.backend.closed_loop["idx_current"][-1],
+                                  self.keyframes)
+                self.pgba.solve_and_writeback(self.keyframes)
 
+        if viz_range is not None and self.pgba is not None:
+            # accumulate odometry constraints for the new keyframes
+            self.pgba.on_new_keyframes(self.keyframes, self.keyframes.count)
         if viz_range is not None and self.enable_mapping:
-            self.call_mapper(viz_range, submap_idx)
+            with tm("mapping"):
+                self.call_mapper(viz_range, submap_idx)
         return took, viz_range
 
     # ------------------------------------------------------------------
@@ -127,8 +205,7 @@ class SLAMSystem:
 
         imgs = kf.image_map[idxs] if kf.image_map[idxs].sum() else kf.image[idxs]
         depths = np.stack([_resize_f(kf.depth[i], mw, mh) for i in idxs])
-        pts = np.asarray(kf.pts_ds[np.asarray(idxs)]) if hasattr(kf, "pts_ds") \
-            else np.zeros((len(idxs), mh // ds, mw // ds, 3), np.float32)
+        pts = np.asarray(kf.pts_ds[np.asarray(idxs)])
         sub = submap_idx
         confs = np.asarray(kf.submap_conf[sub])[:len(idxs)] if sub is not None \
             else np.ones((len(idxs), mh // ds, mw // ds), np.float32)
@@ -193,7 +270,14 @@ class SLAMSystem:
             img_m = self.images[tm] if self.images[tm].shape[:2] == (mh, mw) \
                 else np.stack([_resize_f(self.images[tm][..., c], mw, mh)
                                for c in range(3)], -1).astype(np.uint8)
-            kf.append(tm, kf.image[i], None)  # reserve a KF slot
+            # store the middle frame itself with its refined pose + depth so
+            # downstream consumers (fill/save_trajectory) see real data, not
+            # an identity-pose copy of the predecessor keyframe
+            from ..geometry.lie import se3_from_matrix as _se3_from_m
+            kf.append(tm, im_t,
+                      pose=np.asarray(_se3_from_m(jnp.asarray(poses[1]))),
+                      depth=_resize_f(np.asarray(depths[1]), tw, th),
+                      intrinsic=kf.intrinsic[i])
             self.mapper.add_keyframe(new_idx, img_m,
                                      _resize_f(np.asarray(depths[1]), mw, mh),
                                      w2c_new)
@@ -210,9 +294,12 @@ class SLAMSystem:
         if self.mapper is None or not self.images:
             return None
         from .trajectory_filler import TrajectoryFiller
-        filler = TrajectoryFiller(self.mapper, iters=50)
-        kf_ts = self.keyframes.tstamp[: self.keyframes.count]
-        kf_poses = self.keyframes.pose[: self.keyframes.count]
+        filler = TrajectoryFiller(self.mapper, iters=100)
+        # densified keyframes append out of timestamp order — sort before
+        # the filler's searchsorted anchor lookup
+        order = np.argsort(self.keyframes.tstamp[: self.keyframes.count])
+        kf_ts = self.keyframes.tstamp[: self.keyframes.count][order]
+        kf_poses = self.keyframes.pose[: self.keyframes.count][order]
         mh, mw = self.map_hw
         ts = [t for t in sorted(self.images) if t not in set(kf_ts.tolist())]
         imgs = []
@@ -231,8 +318,14 @@ class SLAMSystem:
         """Final flush + global BA + eval (hi2.py:153-229)."""
         self.frontend.run(t, last_frame=True)
         result = {}
+        filled = None
         if self.mapper is not None and add_kf:
             result["added_kf"] = self.add_kf_densify()
+        if self.mapper is not None:
+            # config-driven finalize budget (reference runs global_BA for
+            # position_lr_max_steps, gs_backend_per_frame.py:1067-1086);
+            # fill runs AFTER finalize so poses optimize against the final map
+            self.mapper.finalize(iters=int(self.finalize_iters))
         if self.mapper is not None and fill:
             filled = self.fill_trajectory()
             if filled:
@@ -244,12 +337,11 @@ class SLAMSystem:
                         f.write(f"{tt} " + " ".join(
                             f"{v:.9f}" for v in p) + "\n")
         if self.mapper is not None:
-            self.mapper.finalize(iters=1000)
             if eval_render:
-                psnrs = [self.mapper.eval_view(i)
-                         for i in range(self.keyframes.count)
-                         if bool(self.mapper.cams.valid[i])]
-                result["psnr_kf"] = float(np.mean(psnrs)) if psnrs else 0.0
+                kf_out = self.eval_rendering_kf()
+                result["psnr_kf"] = kf_out["mean_psnr"]
+                result["eval_kf"] = kf_out
+                result["eval_full"] = self.eval_rendering_full(filled)
             if export_renders:
                 self.export_renders(os.path.join(self.output_dir,
                                                  "renders_kf"))
@@ -260,6 +352,143 @@ class SLAMSystem:
             save_gaussians_ply(os.path.join(self.output_dir,
                                             "3dgs_final.ply"), self.mapper.arena)
         return result
+
+    # ------------------------------------------------------------------
+    def _render_cam(self, idx: int, apply_exposure: bool = True):
+        """Render one mapped camera; returns (rgb [0,1] f32, depth f32)."""
+        from .renderer import render_view
+        m = self.mapper
+        out = render_view(m.arena.params(), m.arena.alive, m.cams.w2c[idx],
+                          m.K4, m.raster_cfg)
+        img = np.asarray(out["color"], np.float32)
+        if apply_exposure:
+            img = img @ np.asarray(m.cams.exposure_a[idx]) \
+                + np.asarray(m.cams.exposure_b[idx])
+        return np.clip(img, 0.0, 1.0), np.asarray(out["depth"], np.float32)
+
+    @staticmethod
+    def _save_render(img: np.ndarray, depth: np.ndarray, img_dir: str,
+                     depth_dir: str, idx: int):
+        """Reference artifact convention: jpg color + uint16 depth x6553.5
+        (eval_utils.py:70-73)."""
+        from ..utils.viz import save_image
+        save_image(os.path.join(img_dir, f"{idx:06d}.jpg"),
+                   (img * 255).astype(np.uint8))
+        save_image(os.path.join(depth_dir, f"{idx:06d}.png"),
+                   np.clip(depth * 6553.5, 0, 65535).astype(np.uint16))
+
+    def eval_rendering_kf(self, iteration: str = "final") -> Dict:
+        """Keyframe rendering eval -> psnr/<it>/final_result_kf.json
+        (eval_utils.py:107-162)."""
+        from ..utils import eval as E
+        img_dir = os.path.join(self.output_dir, "renders_kf",
+                               f"image_{iteration}")
+        depth_dir = os.path.join(self.output_dir, "renders_kf",
+                                 f"depth_{iteration}")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(depth_dir, exist_ok=True)
+        ps, ss, lp, l1 = [], [], [], []
+        m = self.mapper
+        for i in range(self.keyframes.count):
+            if not bool(m.cams.valid[i]):
+                continue
+            img, depth = self._render_cam(i)
+            gt = np.asarray(m.cams.image[i], np.float32) / 255.0
+            self._save_render(img, depth, img_dir, depth_dir, i)
+            mask = gt > 0
+            ps.append(E.psnr(img[mask], gt[mask]))
+            ss.append(E.ssim(img, gt))
+            v = E.lpips(img, gt)
+            if v is not None:
+                lp.append(v)
+            gtd = np.asarray(m.cams.depth[i], np.float32)
+            l1.append(E.depth_l1(depth, gtd))
+        out = {"mean_psnr": float(np.mean(ps)) if ps else 0.0,
+               "mean_ssim": float(np.mean(ss)) if ss else 0.0,
+               "mean_lpips": float(np.mean(lp)) if lp else None,
+               "mean_l1": float(np.mean(l1)) if l1 else 0.0,
+               "n_views": len(ps)}
+        jdir = os.path.join(self.output_dir, "psnr", str(iteration))
+        os.makedirs(jdir, exist_ok=True)
+        import json
+        with open(os.path.join(jdir, "final_result_kf.json"), "w") as f:
+            json.dump(out, f, indent=4)
+        return out
+
+    def eval_rendering_full(self, filled=None, iteration: str = "final",
+                            gt_depths: Optional[Dict] = None) -> Dict:
+        """Full-trajectory eval: every 5th frame + keyframes + last
+        (eval_utils.py:14-105). Non-KF poses come from the trajectory
+        filler result ``filled=(ts, poses)``; without it only keyframes
+        are evaluated. -> psnr/<it>/final_result.json"""
+        from ..utils import eval as E
+        from ..geometry.lie import se3_matrix
+        img_dir = os.path.join(self.output_dir, "renders",
+                               f"image_{iteration}")
+        depth_dir = os.path.join(self.output_dir, "renders",
+                                 f"depth_{iteration}")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(depth_dir, exist_ok=True)
+        kf = self.keyframes
+        kf_ts = {int(kf.tstamp[i]): i for i in range(kf.count)}
+        fill_poses = {}
+        if filled:
+            for tt, p in zip(filled[0], filled[1]):
+                fill_poses[int(tt)] = p
+        m = self.mapper
+        mh, mw = self.map_hw
+        all_ts = sorted(self.images) if self.images else sorted(kf_ts)
+        ps, ss, lp, l1 = [], [], [], []
+        for j, tt in enumerate(all_ts):
+            is_kf = tt in kf_ts
+            if tt % 5 != 0 and not is_kf and j != len(all_ts) - 1:
+                continue
+            if is_kf:
+                i = kf_ts[tt]
+                if not bool(m.cams.valid[i]):
+                    continue
+                img, depth = self._render_cam(i)
+                gtd = np.asarray(m.cams.depth[i], np.float32)
+                l1.append(E.depth_l1(depth, gtd))
+            elif tt in fill_poses:
+                c2w = np.asarray(se3_matrix(jnp.asarray(
+                    fill_poses[tt], jnp.float32)))
+                from .renderer import render_view
+                out = render_view(m.arena.params(), m.arena.alive,
+                                  jnp.asarray(np.linalg.inv(c2w)),
+                                  m.K4, m.raster_cfg)
+                img = np.clip(np.asarray(out["color"], np.float32), 0, 1)
+                depth = np.asarray(out["depth"], np.float32)
+            else:
+                continue
+            if tt in self.images:
+                gt = self.images[tt]
+                if gt.shape[:2] != (mh, mw):
+                    gt = np.stack([_resize_f(gt[..., c], mw, mh)
+                                   for c in range(3)], -1)
+                gt = np.asarray(gt, np.float32) / 255.0
+            elif is_kf:
+                gt = np.asarray(m.cams.image[kf_ts[tt]], np.float32) / 255.0
+            else:
+                continue
+            self._save_render(img, depth, img_dir, depth_dir, tt)
+            mask = gt > 0
+            ps.append(E.psnr(img[mask], gt[mask]))
+            ss.append(E.ssim(img, gt))
+            v = E.lpips(img, gt)
+            if v is not None:
+                lp.append(v)
+        out = {"mean_psnr": float(np.mean(ps)) if ps else 0.0,
+               "mean_ssim": float(np.mean(ss)) if ss else 0.0,
+               "mean_lpips": float(np.mean(lp)) if lp else None,
+               "mean_l1": float(np.mean(l1)) if l1 else 0.0,
+               "n_views": len(ps)}
+        jdir = os.path.join(self.output_dir, "psnr", str(iteration))
+        os.makedirs(jdir, exist_ok=True)
+        import json
+        with open(os.path.join(jdir, "final_result.json"), "w") as f:
+            json.dump(out, f, indent=4)
+        return out
 
     def export_renders(self, outdir: str):
         """Save rendered KF color + uint16 depth x6553.5 for the TSDF
@@ -291,13 +520,14 @@ class SLAMSystem:
     def save_trajectory(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         kf = self.keyframes
+        order = np.argsort(kf.tstamp[: kf.count])  # densified KFs append late
         with open(path, "w") as f:
-            for i in range(kf.count):
+            for i in order:
                 t = kf.tstamp[i]
                 p = kf.pose[i]
                 f.write(f"{t} " + " ".join(f"{v:.9f}" for v in p) + "\n")
         np.save(os.path.join(os.path.dirname(path) or ".", "intrinsics.npy"),
-                kf.intrinsic[: kf.count])
+                kf.intrinsic[: kf.count][order])
 
 
 def _resize_f(arr: np.ndarray, w: int, h: int) -> np.ndarray:

@@ -22,13 +22,19 @@ __all__ = ["make_optimizer", "make_train_step", "init_train_state"]
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.05,
-                   warmup_steps: int = 100, total_steps: int = 100_000):
+                   warmup_steps: int = 100, total_steps: int = 100_000,
+                   accum_steps: int = 1):
+    """AdamW + clip (+ gradient accumulation via optax.MultiSteps — the
+    reference's Accelerator(gradient_accumulation_steps), src/train.py:112)."""
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=weight_decay),
     )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def init_train_state(model: CUT3R, rng, sample_batch, tx):
@@ -63,15 +69,26 @@ def make_train_step(model: CUT3R, tx):
 
 def make_tbptt_train_step(model: CUT3R, tx, chunk: int = 4,
                           grad_chunks: int = 4):
-    """Truncated-BPTT step (inference.py:90-216 semantics): the view axis
-    is split into chunks of ``chunk``; the recurrent (state, mem) carry is
+    """Truncated-BPTT step (inference.py:90-216 semantics): ALL views are
+    encoded once WITHOUT gradient (the reference's no-grad encoder pass,
+    inference.py:100-117 — encoder params receive no update and encoder
+    activations are not kept for backprop); the view axis is then split
+    into decoder chunks of ``chunk``; the recurrent (state, mem) carry is
     stop-gradient'ed between chunks, and only the losses of the last
     ``grad_chunks`` chunks contribute gradients.
     """
 
     def loss_fn(params, batch):
         imgs = batch["imgs"]
-        V = imgs.shape[0]
+        V, B, H, W, _ = imgs.shape
+        # no-grad encoder pass over all views at once
+        feat, pos = model.apply(params, imgs.reshape(V * B, H, W, 3),
+                                method=CUT3R.encode_image)
+        feat = jax.lax.stop_gradient(feat)
+        pos = jax.lax.stop_gradient(pos)
+        N = feat.shape[1]
+        feat = feat.reshape(V, B, N, -1)
+        pos = pos.reshape(V, B, N, 2)
         n_chunks = (V + chunk - 1) // chunk
         carry = None
         total = 0.0
@@ -79,8 +96,8 @@ def make_tbptt_train_step(model: CUT3R, tx, chunk: int = 4,
         for c in range(n_chunks):
             s, e = c * chunk, min((c + 1) * chunk, V)
             out, carry = model.apply(
-                params, imgs[s:e], carry, jnp.int32(s),
-                method=CUT3R.forward_chunk)
+                params, feat[s:e], pos[s:e], H, W, carry, jnp.int32(s),
+                method=CUT3R.decode_views)
             carry = jax.tree.map(jax.lax.stop_gradient, carry)
             if c >= n_chunks - grad_chunks:
                 gt = {"pts3d": batch["pts3d"][s:e],

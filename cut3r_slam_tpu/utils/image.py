@@ -16,7 +16,8 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["mono_stream", "list_images", "resize_with_intrinsics"]
+__all__ = ["mono_stream", "list_images", "resize_with_intrinsics",
+           "prefetch_stream"]
 
 _EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
 
@@ -87,3 +88,35 @@ def mono_stream(imagedir: str, calib: np.ndarray, stride: int = 1,
         img_track, K_track = resize_with_intrinsics(img, K, target_w, 16)
         img_map, K_map = resize_with_intrinsics(img, K, target_w, 2)
         yield t, img_track, K_track, img_map, K_map, t == n - 1
+
+
+def prefetch_stream(it: Iterator, depth: int = 8) -> Iterator:
+    """Background-thread prefetcher: decouples cv2 decode+resize from the
+    device loop (SURVEY.md §7 design point (a); the reference's stale
+    demo.py used an mp.Process + Queue(8) for the same purpose,
+    demo.py:102-107). A daemon thread fills a bounded queue; the consumer
+    pops finished frames while the device step runs. Exceptions propagate
+    to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

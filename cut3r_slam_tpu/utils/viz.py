@@ -14,7 +14,25 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["save_pcd_ply", "save_depth_png", "save_gaussians_ply"]
+__all__ = ["save_pcd_ply", "save_depth_png", "save_gaussians_ply",
+           "save_image"]
+
+
+def save_image(path: str, arr: np.ndarray):
+    """Write an image array (uint8 RGB/gray or uint16 depth) to disk,
+    preferring cv2 (fast jpg/png codecs) with a PIL fallback."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import cv2
+        if arr.ndim == 3 and arr.shape[-1] == 3:
+            arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(path, arr)
+    except ImportError:
+        from PIL import Image
+        if path.endswith(".jpg") and arr.dtype != np.uint8:
+            arr = arr.astype(np.uint8)
+        mode = "I;16" if arr.dtype == np.uint16 else None
+        Image.fromarray(arr, mode=mode).save(path)
 
 
 def save_pcd_ply(path: str, points: np.ndarray,

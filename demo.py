@@ -39,6 +39,8 @@ def main():
                    help="tracking width (512 = reference resolution)")
     p.add_argument("--arena_capacity", type=int, default=2 ** 18)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--finalize_iters", type=int, default=None,
+                   help="override opt_params.position_lr_max_steps")
     args = p.parse_args()
 
     import jax
@@ -53,7 +55,8 @@ def main():
     from cut3r_slam_tpu.models.convert import load_cut3r_params
     from cut3r_slam_tpu.slam.system import SLAMSystem
     from cut3r_slam_tpu.utils.config import load_config, load_calib, DEFAULT_CONFIG
-    from cut3r_slam_tpu.utils.image import mono_stream, list_images, _imread
+    from cut3r_slam_tpu.utils.image import (mono_stream, list_images,
+                                            prefetch_stream, _imread)
 
     cfg = dict(DEFAULT_CONFIG)
     if args.config:
@@ -86,6 +89,9 @@ def main():
         params = load_cut3r_params(args.ckpt)
 
     cfg.setdefault("Mapping", {})["arena_capacity"] = args.arena_capacity
+    if args.finalize_iters is not None:
+        cfg.setdefault("opt_params", {})["position_lr_max_steps"] = \
+            args.finalize_iters
     slam = SLAMSystem(model, params, cfg, buffer=args.buffer,
                       img_hw=(Ht, tw), map_hw=(Hm, tw),
                       enable_mapping=not args.no_mapping,
@@ -101,9 +107,10 @@ def main():
     timer = StageTimer()
     t0 = time.time()
     n = 0
-    stream = mono_stream(args.imagedir, calib, args.stride, args.cropborder,
-                         args.undistort, args.start, args.length,
-                         target_w=tw)
+    stream = prefetch_stream(
+        mono_stream(args.imagedir, calib, args.stride, args.cropborder,
+                    args.undistort, args.start, args.length, target_w=tw),
+        depth=8)
     prev = None
     for (t, img, K, img_map, K_map, is_last) in stream:
         with timer("frame"):

@@ -1,0 +1,154 @@
+"""CroCo pretraining + stereo/flow downstream (models/croco_pretrain.py).
+
+Mirrors /root/reference/src/croco/models/croco.py semantics with
+static-shape masking: masked-patch reconstruction target, mask coverage,
+loss restricted to masked tokens, and the binocular downstream head.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cut3r_slam_tpu.models.croco_pretrain import (
+    CroCoConfig, CroCoPretrain, CroCoDownstreamBinocular,
+    croco_pretrain_loss, laplacian_nll, patchify, unpatchify)
+
+
+CFG = CroCoConfig.tiny()
+
+
+def _imgs(seed=0):
+    rng = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(rng)
+    img1 = jax.random.uniform(k1, (2, 32, 48, 3), minval=-1, maxval=1)
+    img2 = jax.random.uniform(k2, (2, 32, 48, 3), minval=-1, maxval=1)
+    return img1, img2
+
+
+def test_patchify_roundtrip():
+    img1, _ = _imgs()
+    p = patchify(img1, 16)
+    assert p.shape == (2, (32 // 16) * (48 // 16), 16 * 16 * 3)
+    back = unpatchify(p, (32, 48), 16)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img1),
+                               atol=1e-6)
+
+
+def test_pretrain_forward_shapes_and_mask():
+    img1, img2 = _imgs()
+    model = CroCoPretrain(CFG)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "mask": jax.random.PRNGKey(1)}, img1, img2)
+    pred, mask, target = model.apply(params, img1, img2,
+                                     rngs={"mask": jax.random.PRNGKey(2)})
+    N = (32 // 16) * (48 // 16)
+    assert pred.shape == (2, N, 16 * 16 * 3)
+    assert mask.shape == (2, N)
+    # mask_ratio=0.75 on N=6 -> 2 visible (rounded), 4 masked, per sample
+    n_vis = int(round(N * (1 - CFG.mask_ratio)))
+    assert int(mask.sum()) == 2 * (N - n_vis)
+    loss = croco_pretrain_loss(pred, mask, target)
+    assert np.isfinite(float(loss))
+
+
+def test_pretrain_loss_only_masked_tokens():
+    img1, img2 = _imgs()
+    model = CroCoPretrain(CFG)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "mask": jax.random.PRNGKey(1)}, img1, img2)
+    pred, mask, target = model.apply(params, img1, img2,
+                                     rngs={"mask": jax.random.PRNGKey(2)})
+    # perturbing predictions on VISIBLE tokens must not change the loss
+    noise = jnp.where(mask[..., None], 0.0, 123.0)
+    l0 = float(croco_pretrain_loss(pred, mask, target))
+    l1 = float(croco_pretrain_loss(pred + noise, mask, target))
+    assert abs(l0 - l1) < 1e-5
+
+
+def test_pretrain_grads_flow():
+    img1, img2 = _imgs()
+    model = CroCoPretrain(CFG)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "mask": jax.random.PRNGKey(1)}, img1, img2)
+
+    def loss_fn(p):
+        pred, mask, target = model.apply(p, img1, img2,
+                                         rngs={"mask": jax.random.PRNGKey(2)})
+        return croco_pretrain_loss(pred, mask, target)
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_downstream_binocular_flow():
+    img1, img2 = _imgs()
+    model = CroCoDownstreamBinocular(CFG, num_channels=2, with_conf=True)
+    params = model.init(jax.random.PRNGKey(0), img1, img2)
+    flow, conf = model.apply(params, img1, img2)
+    assert flow.shape == (2, 32, 48, 2)
+    assert conf.shape == (2, 32, 48)
+    assert bool((conf > 0).all())  # softplus positivity
+    gt = jnp.zeros_like(flow)
+    nll = laplacian_nll(flow, gt, conf,
+                        valid=jnp.ones(flow.shape[:3], bool))
+    assert np.isfinite(float(nll))
+
+
+def test_downstream_stereo_disparity():
+    img1, img2 = _imgs()
+    model = CroCoDownstreamBinocular(CFG, num_channels=1, with_conf=False)
+    params = model.init(jax.random.PRNGKey(0), img1, img2)
+    disp, conf = model.apply(params, img1, img2)
+    assert disp.shape == (2, 32, 48, 1)
+    assert conf is None
+
+
+class TestPairGeneration:
+    def _frame(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+        depth = np.full((32, 48), 2.0, np.float32)
+        K4 = np.asarray([40.0, 40.0, 24.0, 16.0], np.float32)
+        return img, depth, K4
+
+    def test_homography_pair(self):
+        from cut3r_slam_tpu.datasets.pairs import homography_pair
+        img, _, _ = self._frame()
+        a, b = homography_pair(img, np.random.default_rng(1))
+        assert a.shape == img.shape and b.shape == img.shape
+        assert not np.array_equal(a, b)
+
+    def test_reprojection_pair_covisibility(self):
+        from cut3r_slam_tpu.datasets.pairs import reprojection_pair
+        img, depth, K4 = self._frame()
+        a, b = reprojection_pair(img, depth, K4,
+                                 np.random.default_rng(2))
+        assert np.array_equal(a, img)
+        # most of the warped view must be filled (co-visible content)
+        assert (b.sum(-1) > 0).mean() > 0.5
+
+    def test_pair_iter_feeds_pretraining(self):
+        from cut3r_slam_tpu.datasets.pairs import PairDataset, make_pair_iter
+
+        class Src:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return {"image": rng.integers(
+                    0, 255, (32, 48, 3)).astype(np.uint8)}
+
+        it = make_pair_iter(PairDataset(Src(), synth=True), batch_size=2)
+        batch = next(it)
+        assert batch["img1"].shape == (2, 32, 48, 3)
+        assert batch["img1"].min() >= -1.0 and batch["img1"].max() <= 1.0
+        model = CroCoPretrain(CFG)
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "mask": jax.random.PRNGKey(1)},
+                            jnp.asarray(batch["img1"]),
+                            jnp.asarray(batch["img2"]))
+        pred, mask, target = model.apply(
+            params, jnp.asarray(batch["img1"]), jnp.asarray(batch["img2"]),
+            rngs={"mask": jax.random.PRNGKey(2)})
+        assert np.isfinite(float(croco_pretrain_loss(pred, mask, target)))

@@ -56,3 +56,53 @@ def test_pallas_background():
     np.testing.assert_allclose(c[empty],
                                np.tile([0.1, 0.2, 0.3], (empty.sum(), 1)),
                                atol=1e-3)
+
+
+def _loss_fn(raster_fn, **kw):
+    def f(means, quats, scales, opac, colors):
+        out = raster_fn(means, quats, scales, opac, colors, K4, CFG, **kw)
+        # touch every differentiable output the mapping losses use
+        return (out["color"].sum() + 0.5 * out["alpha"].sum()
+                + 0.3 * out["depth"].sum() + 0.2 * out["mdepth"].sum()
+                + 0.1 * out["normal"].sum())
+    return f
+
+
+def test_pallas_backward_matches_xla_ad():
+    """Custom-VJP Pallas backward vs JAX AD of the XLA rasterizer
+    (backward.cu:145-632 semantics)."""
+    import jax
+    from cut3r_slam_tpu.ops.gs_raster_pallas import rasterize_pallas
+    means, quats, scales, opac, colors = _scene(40)
+    g_ref = jax.grad(_loss_fn(rasterize), argnums=(0, 1, 2, 3, 4))(
+        means, quats, scales, opac, colors)
+    g_pal = jax.grad(_loss_fn(rasterize_pallas, interpret=True),
+                     argnums=(0, 1, 2, 3, 4))(
+        means, quats, scales, opac, colors)
+    names = ["means", "quats", "scales", "opac", "colors"]
+    for n, a, b in zip(names, g_ref, g_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-4,
+                                   err_msg=n)
+
+
+def test_pallas_probe_grad_matches_xla():
+    """The viewspace densification probe cotangent must match."""
+    import jax
+    from cut3r_slam_tpu.ops.gs_raster_pallas import rasterize_pallas
+    means, quats, scales, opac, colors = _scene(30)
+    probe = jnp.zeros((means.shape[0], 2))
+
+    def f(fn, **kw):
+        def g(p):
+            out = fn(means, quats, scales, opac, colors, K4, CFG,
+                     means2d_probe=p, **kw)
+            return out["color"].sum() + out["depth"].sum()
+        return g
+
+    g_ref = jax.grad(f(rasterize))(probe)
+    g_pal = jax.grad(f(rasterize_pallas, interpret=True))(probe)
+    a, b = np.asarray(g_ref), np.asarray(g_pal)
+    scale = np.abs(a).max() + 1e-6
+    np.testing.assert_allclose(b / scale, a / scale, atol=5e-4)

@@ -161,3 +161,49 @@ class TestSim3:
             lo = np.asarray(lie.sim3_exp(xi0 - jnp.asarray(d)))
             J_num[:, k] = (hi - lo) / (2 * eps)
         np.testing.assert_allclose(np.asarray(J_ad), J_num, rtol=2e-2, atol=2e-3)
+
+
+class TestSim3NegativeSigmaSmallTheta:
+    """Regression: sign-preserving clamp in _sim3_W (ADVICE r1, high).
+
+    For sigma < 0 and theta ~ 0, a bare maximum(sigma^3, -1e-24) snapped the
+    denominator to -1e-24 and produced ~1e22 translations. Ground truth via
+    scipy.linalg.expm of the 4x4 sim(3) matrix representation:
+      exp([[hat(phi)+sigma I, tau],[0,0]]) = [[s R, t],[0,1]].
+    """
+
+    def _expm_truth(self, xi):
+        from scipy.linalg import expm
+        tau, phi, sigma = xi[:3], xi[3:6], xi[6]
+        hat = np.array([[0, -phi[2], phi[1]],
+                        [phi[2], 0, -phi[0]],
+                        [-phi[1], phi[0], 0]], dtype=np.float64)
+        M = np.zeros((4, 4), dtype=np.float64)
+        M[:3, :3] = hat + sigma * np.eye(3)
+        M[:3, 3] = tau
+        return expm(M)
+
+    @pytest.mark.parametrize("sigma", [-0.5, -0.1, -1e-4, 1e-4, 0.1, 0.5])
+    @pytest.mark.parametrize("theta", [0.0, 1e-6, 1e-3, 0.3])
+    def test_exp_matches_expm(self, sigma, theta):
+        tau = np.array([0.3, -0.7, 1.1])
+        phi = np.array([0.6, 0.8, 0.0]) * theta
+        xi = np.concatenate([tau, phi, [sigma]]).astype(np.float32)
+        g = np.asarray(lie.sim3_exp(jnp.asarray(xi)), dtype=np.float64)
+        T = self._expm_truth(xi)
+        np.testing.assert_allclose(g[:3], T[:3, 3], rtol=1e-4, atol=1e-5)
+        s = g[7]
+        np.testing.assert_allclose(s, np.exp(sigma), rtol=1e-5)
+
+    def test_log_roundtrip_negative_sigma(self):
+        xi = np.array([0.3, -0.7, 1.1, 1e-5, -2e-5, 1e-5, -0.1], np.float32)
+        back = np.asarray(lie.sim3_log(lie.sim3_exp(jnp.asarray(xi))))
+        np.testing.assert_allclose(back, xi, rtol=1e-3, atol=1e-5)
+
+
+class TestQuatNormalizeGrad:
+    def test_zero_quat_grad_finite(self):
+        """Regression: NaN gradient of linalg.norm at zero input (ADVICE r1)."""
+        from cut3r_slam_tpu.geometry.quaternion import quat_normalize
+        g = jax.grad(lambda q: jnp.sum(quat_normalize(q)))(jnp.zeros(4))
+        assert np.all(np.isfinite(np.asarray(g)))

@@ -103,3 +103,36 @@ def test_tbptt_step_runs():
     # params changed
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, params2)
     assert max(jax.tree.leaves(d)) > 0
+
+
+class TestPriorWiring:
+    def test_motion_filter_stores_priors(self):
+        """Config-gated mono-prior hook: kfFilter computes + stores
+        PriorNet depth/normal per keyframe (motion_filter.py:58-66
+        call-site in the reference)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from cut3r_slam_tpu.models import CUT3R, CUT3RConfig
+        from cut3r_slam_tpu.slam.system import SLAMSystem
+
+        cfg_m = CUT3RConfig.tiny()
+        model = CUT3R(cfg_m)
+        H, W = 32, 48
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 1, H, W, 3)))
+        cfg = {"Tracking": {"motion_filter": {
+            "kf_every": 1, "use_prior": True,
+            "prior_dim": 32, "prior_depth_blocks": 2}}}
+        slam = SLAMSystem(model, params, cfg, buffer=8, img_hw=(H, W),
+                          enable_mapping=False, enable_loop=False,
+                          output_dir="/tmp/prior_test")
+        img = np.full((H, W, 3), 128, np.uint8)
+        K4 = np.asarray([40.0, 40.0, W / 2, H / 2], np.float32)
+        slam.run(0, img, K4)
+        kf = slam.keyframes
+        assert kf.prior_depth is not None and kf.count == 1
+        assert kf.prior_depth[0].shape == (H, W)
+        assert float(kf.prior_depth[0].min()) >= 0.0  # softplus depth
+        n = kf.prior_normal[0]
+        nlen = np.linalg.norm(n, axis=-1)
+        np.testing.assert_allclose(nlen, 1.0, atol=1e-3)  # unit normals

@@ -63,3 +63,57 @@ def test_loop_candidate_gate():
                                temporal_gap=20)
     # frames 0..9 are close in space and > 20 frames away
     assert (cand < 10).all() and len(cand) == 10
+
+
+class TestPGBABuffer:
+    """Live-path PGBA wiring (VERDICT r1 #6): odometry accumulation from a
+    KeyframeStore, loop edges, bucketed solve + pose/depth writeback."""
+
+    def _store(self, gt, drifted):
+        from cut3r_slam_tpu.slam.keyframe import KeyframeStore
+        kf = KeyframeStore(64, (16, 24), feat_tokens=1, feat_dim=4)
+        for i, p in enumerate(drifted):
+            kf.append(i, np.zeros((16, 24, 3), np.uint8), pose=p)
+        kf.depth[:len(drifted)] = 1.0
+        return kf
+
+    def test_live_drift_reduction(self):
+        from cut3r_slam_tpu.slam.sim3_pgo import PGBABuffer
+        gt = _make_traj(12)
+        buf = PGBABuffer(loop_weight=5.0, iters=8)
+        # odometry edges accumulate incrementally from CLEAN tracking
+        kf = self._store(gt, gt.copy())
+        buf.on_new_keyframes(kf, 6)
+        buf.on_new_keyframes(kf, 12)
+        assert len(buf.pgo.ii) == 11
+        # drift corrupts the stored poses after the edges were measured
+        drift = np.asarray(lie.se3_exp(jnp.asarray(
+            np.cumsum(RNG.normal(size=(12, 6)).astype(np.float32) * 0.03,
+                      0))))
+        kf.pose[:12] = np.asarray(lie.se3_mul(jnp.asarray(drift),
+                                              jnp.asarray(gt[:12])))
+        kf.pose[0] = gt[0]
+        # loop closure corrected the endpoints -> accurate loop edge
+        kf.pose[11] = gt[11]
+        buf.on_loop(0, 11, kf)
+        err_before = np.abs(kf.pose[:12, :3] - gt[:12, :3]).mean()
+        g = buf.solve_and_writeback(kf)
+        err_after = np.abs(kf.pose[:12, :3] - gt[:12, :3]).mean()
+        assert g.shape == (12, 8)
+        assert err_after < err_before * 0.5, (err_before, err_after)
+        # depths rescaled by the per-pose Sim3 scale (near 1 here)
+        np.testing.assert_allclose(np.asarray(g[:, 7]), 1.0, atol=0.1)
+
+    def test_config_gating(self):
+        """SLAMSystem only builds the PGBA buffer when the config's
+        Tracking.pgba.active flag is set (scannet_config.yaml)."""
+        from cut3r_slam_tpu.models import CUT3R, CUT3RConfig
+        from cut3r_slam_tpu.slam.system import SLAMSystem
+        model = CUT3R(CUT3RConfig.tiny())
+        off = SLAMSystem(model, None, {}, buffer=16, img_hw=(32, 48))
+        assert off.pgba is None
+        on = SLAMSystem(
+            model, None,
+            {"Tracking": {"pgba": {"active": True}}},
+            buffer=16, img_hw=(32, 48))
+        assert on.pgba is not None
