@@ -456,12 +456,16 @@ class CUT3R(nn.Module):
         return self.decode_views(feat, pos, H, W, carry, chunk_start)
 
     def decode_views(self, feat: jax.Array, pos: jax.Array, H: int, W: int,
-                     carry, chunk_start: jax.Array):
+                     carry, chunk_start: jax.Array,
+                     head_outputs=("self", "cross", "rgb", "pose")):
         """Decoder-only chunk over precomputed encoder tokens.
 
         Enables the reference's TBPTT memory trick (inference.py:90-216):
         encode ALL views once without grad, then run decoder chunks with
-        grad over these features. feat: (V, B, N, enc_dim); pos: (V, B, N, 2).
+        grad over these features — and the SLAM frontend's encoder-token
+        reuse (the motion filter already ran the ViT-L encoder per
+        keyframe; the submap step decodes straight from kf.featI).
+        feat: (V, B, N, enc_dim); pos: (V, B, N, 2).
         """
         V, B, N = feat.shape[:3]
         init_state, state_pos, init_mem = self.init_state(B)
@@ -486,7 +490,8 @@ class CUT3R(nn.Module):
 
         h0, h6, h9, h12 = [h.reshape((V * B,) + h.shape[2:]) for h in hooks]
         pos_flat = pos.reshape(V * B, N, 2)
-        out = self.downstream_head([h0, h6, h9, h12], H, W, pos_flat)
+        out = self.downstream_head([h0, h6, h9, h12], H, W, pos_flat,
+                                   outputs=head_outputs)
         out = {k: v.reshape((V, B) + v.shape[1:]) for k, v in out.items()}
         return out, (state_feat, mem)
 

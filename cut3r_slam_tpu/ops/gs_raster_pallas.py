@@ -3,22 +3,36 @@
 The XLA formulation in ops/gs_raster.py materializes the per-tile gathered
 Gaussian attributes in HBM and streams them through a lax.scan. These
 kernels fuse the whole per-tile front-to-back blend into VMEM-resident
-programs: grid = (n_tiles,), each program blends its tile's ``K`` depth-
-sorted entries in chunks — alphas on the VPU, accumulations as
-(pixels x chunk) @ (chunk x c) MXU contractions, transmittance as a
-cumulative product — writing color / alpha-weight / expected + median ray
-depth / normals for its 16x16 pixels.
+programs; each grid step blends a BATCH of TB tiles (per-grid-step fixed
+costs measured ~40/150 us fwd/bwd — batching amortizes them).
+
+The key reformulation: the per-(entry, pixel) Gaussian exponent and ray
+depth are polynomials in the pixel coordinates —
+
+  power = q0 + q1 x + q2 y + q3 x^2 + q4 y^2 + q5 xy      (EWA conic)
+  t     = t0 + t1 x + t2 y                                 (ray plane)
+
+so each chunk computes them as ONE batched MXU contraction of a packed
+16-channel per-entry matrix  A = [q0..q5, t0..t2, rgb, normal, 1]
+against per-tile basis planes  B = [1, x, y, x^2, y^2, xy] (tile-LOCAL
+pixel coordinates keep the f32 cancellation error ~1e-4). log(opacity)
+and the entry validity mask fold into q0. Accumulation of all channels
+(color, normal, alpha-weight) is a single transposed contraction with
+the blend weights aT. Transmittance is a log-space triangular-matmul
+prefix product (no cumprod primitive in Mosaic; alphas clamped <= 0.99
+keep log(1-a) finite). Chunk loops are bounded by the batch's max entry
+count (scalar-prefetched) and exit early when every pixel's
+transmittance is exhausted.
 
 The backward mirrors the CUDA backward (/root/reference/thirdparty/
-diff-gaussian-rasterization/cuda_rasterizer/backward.cu:145-632): where
-the CUDA kernel walks entries back-to-front carrying suffix accumulators,
-this kernel runs TWO forward chunk passes — pass 1 recomputes the blend
-and reduces the per-pixel totals (Σ aT·b, contributor count, final T);
-pass 2 recomputes each chunk again, turning running prefix sums into the
-suffix terms  dL/dα_i = T_i·b_i − (S_i + g_T·T_final)/(1−α_i)  fully
-vectorized over (pixels × chunk). All chunk math is identical to the
-forward, so gradients match JAX AD of ops/gs_raster.py to float tolerance
-(verified by tests/test_gs_raster_pallas.py).
+diff-gaussian-rasterization/cuda_rasterizer/backward.cu:145-632): two
+forward chunk passes — pass 1 reduces per-pixel totals (sum aT*b,
+last-contributor chunk, final T); pass 2 turns running prefix sums into
+the suffix terms  dL/da_i = T_i*b_i - (S_i + g_T*T_final)/(1-a_i)  and
+emits ONE packed (TB, K, 16) gradient dA; XLA autodiff chains dA through
+the (differentiable) packing back to means/conics/opacity/colors/planes.
+Gradients match JAX AD of ops/gs_raster.py to float tolerance
+(tests/test_gs_raster_pallas.py).
 
 ``rasterize_pallas`` is the differentiable drop-in for ops/gs_raster.
 rasterize (minus the coord/mcoord maps, unused by the mapping losses);
@@ -39,340 +53,344 @@ from .gs_raster import (RasterizeConfig, TILE, ALPHA_MIN, T_MIN,
 __all__ = ["rasterize_pallas_forward", "rasterize_pallas"]
 
 PX = TILE * TILE  # 256 pixels per tile
+NCH = 16          # packed entry channels
 
 
-def _blend_tile_kernel(pix_ref, mean2d_ref, conic_ref, opac_ref, color_ref,
-                       t_ref, rayp_ref, norm_ref, mask_ref,
-                       color_out, weight_out, depth_out, mdepth_out,
-                       norm_out, tleft_out, *, chunk: int, k_entries: int):
-    """One grid step = one tile.
+def _tri_strict(C):
+    """(C, C) 0/1 strict lower-triangular matrix: tri[i, j] = [j < i]."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return (c < r).astype(jnp.float32)
 
-    pix: (PX, 2) pixel coords; per-entry attrs (K, ...) depth-sorted;
-    outputs (PX, c).
+
+def _prefix_strict(x):
+    """Strict prefix sum along the ENTRY axis (axis 1 of (TB, C, PX))."""
+    return jnp.einsum("ij,bjp->bip", _tri_strict(x.shape[1]), x,
+                      preferred_element_type=jnp.float32)
+
+
+def _chunk_blend(a_ref, bp, bt, sl, T_in):
+    """Forward-chunk recompute for a TB-tile batch.
+
+    a_ref: (TB, K, 16) packed entries; bp/bt: (TB, 16, PX) power / depth
+    basis planes; T_in: (TB, 1, PX). Returns (TB, C, PX) maps.
     """
-    n_chunks = k_entries // chunk
-    pix = pix_ref[:]  # (PX, 2)
+    A = a_ref[:, sl, :]                                   # (TB, C, 16)
+    power = jnp.einsum("bck,bkp->bcp", A, bp,
+                       preferred_element_type=jnp.float32)
+    t_all = jnp.einsum("bck,bkp->bcp", A, bt,
+                       preferred_element_type=jnp.float32)
+    alpha_raw = jnp.exp(power)       # includes log-opacity and mask in q0
+    alpha_c = jnp.minimum(0.99, alpha_raw)
+    ok = alpha_c >= ALPHA_MIN
+    alpha0 = jnp.where(ok, alpha_c, 0.0)
+    log1m0 = jnp.log(jnp.maximum(1.0 - alpha0, 1e-20))
+    ps0 = _prefix_strict(log1m0)
+    # early-termination test entirely in log space (no exp for Tb0):
+    # Tb0*(1-alpha0) < T_MIN  <=>  log T_in + ps0 + log1m0 < log T_MIN
+    lT = jnp.log(jnp.maximum(T_in, 1e-30))
+    viol = ((lT + ps0 + log1m0) < jnp.float32(jnp.log(T_MIN))
+            ).astype(jnp.float32)
+    sviol = _prefix_strict(viol)
+    keep = ((sviol + viol) < 0.5).astype(jnp.float32)
+    alpha = alpha0 * keep
+    # keep is 0/1, so log(1 - alpha0*keep) == keep * log(1 - alpha0)
+    log1m = log1m0 * keep
+    Tb = T_in * jnp.exp(_prefix_strict(log1m))
+    aT = alpha * Tb
+    T_out = T_in * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+    return dict(A=A, alpha_raw=alpha_raw, alpha=alpha, Tb=Tb, aT=aT,
+                t_all=t_all, T_out=T_out,
+                gate=jnp.where(ok & (alpha_raw < 0.99), keep, 0.0))
 
-    def chunk_body(ci, carry):
-        T, wsum, csum, dsum, nsum, mdep = carry
-        sl = pl.ds(ci * chunk, chunk)
-        mean2d = mean2d_ref[sl, :]          # (C, 2)
-        conic = conic_ref[sl, :]            # (C, 3)
-        opac = opac_ref[sl, 0]              # (C,)
-        color = color_ref[sl, :]            # (C, 3)
-        tc = t_ref[sl, 0]                   # (C,)
-        rayp = rayp_ref[sl, :]              # (C, 2)
-        norm = norm_ref[sl, :]              # (C, 3)
-        mask = mask_ref[sl, 0]              # (C,)
 
-        dx = mean2d[None, :, 0] - pix[:, 0:1]   # (PX, C)
-        dy = mean2d[None, :, 1] - pix[:, 1:2]
-        power = (-0.5 * (conic[None, :, 0] * dx * dx
-                         + conic[None, :, 2] * dy * dy)
-                 - conic[None, :, 1] * dx * dy)
-        alpha = jnp.minimum(0.99, opac[None, :] * jnp.exp(power))
-        ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & (mask[None, :] > 0)
-        alpha = jnp.where(ok, alpha, 0.0)
+def _batch_chunks(cnt_ref, tb, chunk, k_entries):
+    """Chunk-loop bound for grid step i: cover the batch's max count."""
+    i = pl.program_id(0)
+    m = cnt_ref[i * tb]
+    for j in range(1, tb):  # SMEM allows scalar reads only
+        m = jnp.maximum(m, cnt_ref[i * tb + j])
+    return jnp.minimum(pl.cdiv(m, chunk), k_entries // chunk)
 
-        one_m = 1.0 - alpha
-        cum = jnp.cumprod(one_m, axis=-1)
-        Tb = T * jnp.concatenate(
-            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=-1)
-        keep = jnp.cumprod((Tb * one_m >= T_MIN).astype(alpha.dtype), axis=-1)
-        alpha = alpha * keep
-        one_m = 1.0 - alpha
-        cum = jnp.cumprod(one_m, axis=-1)
-        Tb = T * jnp.concatenate(
-            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=-1)
-        aT = alpha * Tb  # (PX, C)
 
-        csum = csum + jnp.dot(aT, color, preferred_element_type=jnp.float32)
-        wsum = wsum + jnp.sum(aT, axis=-1, keepdims=True)
-        t_all = tc[None, :] + rayp[None, :, 0] * dx + rayp[None, :, 1] * dy
-        dsum = dsum + jnp.sum(aT * t_all, axis=-1, keepdims=True)
-        nsum = nsum + jnp.dot(aT, norm, preferred_element_type=jnp.float32)
+def _blend_fwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
+                      o_out, dsum_out, mdep_out, tleft_out,
+                      *, tb: int, chunk: int, k_entries: int):
+    """One grid step = TB tiles. Outputs: O (TB, 16, PX) accumulated
+    channels (rows 9..11 color, 12..14 normal, 15 alpha-weight), expected
+    ray-depth sum, median ray depth, leftover transmittance."""
+    n_chunks = _batch_chunks(cnt_ref, tb, chunk, k_entries)
+    bp = bp_ref[:]
+    bt = bt_ref[:]
 
-        contrib = aT > 0.0
-        bm = (Tb > 0.5) & contrib
-        idx = jnp.sum(bm.astype(jnp.int32), axis=-1, keepdims=True) - 1
+    def chunk_body(state):
+        ci, (T, osum, dsum, mdep) = state
+        v = _chunk_blend(a_ref, bp, bt, pl.ds(ci * chunk, chunk), T)
+        aT, t_all = v["aT"], v["t_all"]
+        osum = osum + jnp.einsum("bcp,bck->bkp", aT, v["A"],
+                                 preferred_element_type=jnp.float32)
+        dsum = dsum + jnp.sum(aT * t_all, axis=1, keepdims=True)
+
+        bm = (v["Tb"] > 0.5) & (aT > 0.0)
+        idx = jnp.sum(bm.astype(jnp.int32), axis=1, keepdims=True) - 1
         has = idx >= 0
-        take = jnp.sum(jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1) == idx,
-            t_all, 0.0), axis=-1, keepdims=True)
+        iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
+        take = jnp.sum(jnp.where(iota == idx, t_all, 0.0), axis=1,
+                       keepdims=True)
         mdep = jnp.where(has, take, mdep)
+        return ci + 1, (v["T_out"], osum, dsum, mdep)
 
-        T = T * cum[:, -1:]
-        return T, wsum, csum, dsum, nsum, mdep
+    def not_done(state):
+        ci, carry = state
+        return (ci < n_chunks) & (jnp.max(carry[0]) >= T_MIN)
 
-    init = (jnp.ones((PX, 1), jnp.float32),
-            jnp.zeros((PX, 1), jnp.float32),
-            jnp.zeros((PX, 3), jnp.float32),
-            jnp.zeros((PX, 1), jnp.float32),
-            jnp.zeros((PX, 3), jnp.float32),
-            jnp.zeros((PX, 1), jnp.float32))
-    T, wsum, csum, dsum, nsum, mdep = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init)
+    init = (jnp.ones((tb, 1, PX), jnp.float32),
+            jnp.zeros((tb, NCH, PX), jnp.float32),
+            jnp.zeros((tb, 1, PX), jnp.float32),
+            jnp.zeros((tb, 1, PX), jnp.float32))
+    _, (T, osum, dsum, mdep) = jax.lax.while_loop(
+        not_done, chunk_body, (jnp.int32(0), init))
 
-    color_out[:] = csum
-    weight_out[:] = wsum
-    depth_out[:] = dsum
-    mdepth_out[:] = mdep
-    norm_out[:] = nsum
+    o_out[:] = osum
+    dsum_out[:] = dsum
+    mdep_out[:] = mdep
     tleft_out[:] = T
 
 
-def _blend_tile_bwd_kernel(pix_ref, mean2d_ref, conic_ref, opac_ref,
-                           color_ref, t_ref, rayp_ref, norm_ref, mask_ref,
-                           gc_ref, gw_ref, gd_ref, gmd_ref, gn_ref, gT_ref,
-                           dm2d_out, dcon_out, dopa_out, dcol_out,
-                           dt_out, drp_out, dnrm_out,
-                           *, chunk: int, k_entries: int):
-    """Backward for one tile: two forward chunk passes (see module doc).
+def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
+                      go_ref, gd_ref, gmd_ref, gT_ref, da_out,
+                      *, tb: int, chunk: int, k_entries: int):
+    """Backward: two forward chunk passes emitting the packed dA."""
+    da_out[:] = jnp.zeros(da_out.shape, da_out.dtype)
+    n_chunks = _batch_chunks(cnt_ref, tb, chunk, k_entries)
+    bp = bp_ref[:]
+    bt = bt_ref[:]
+    gO = go_ref[:]          # (TB, 16, PX); rows 0..8 arrive zero
+    gd = gd_ref[:]          # (TB, 1, PX) expected-depth-sum cotangent
+    gmd = gmd_ref[:]        # (TB, 1, PX) median-depth cotangent
+    gT = gT_ref[:]          # (TB, 1, PX) final-transmittance cotangent
 
-    g*_ref are the (PX, c) output cotangents of this tile; d*_out are the
-    (K, c) per-entry gradients.
-    """
-    n_chunks = k_entries // chunk
-    pix = pix_ref[:]
-    gc = gc_ref[:]          # (PX, 3) color cotangent
-    gw = gw_ref[:]          # (PX, 1) weight/alpha cotangent
-    gd = gd_ref[:]          # (PX, 1) expected-depth-sum cotangent
-    gmd = gmd_ref[:]        # (PX, 1) median-depth cotangent
-    gn = gn_ref[:]          # (PX, 3) normal-sum cotangent
-    gT = gT_ref[:]          # (PX, 1) final-transmittance cotangent
+    def with_b(ci, T):
+        v = _chunk_blend(a_ref, bp, bt, pl.ds(ci * chunk, chunk), T)
+        # per-(entry, pixel) cotangent of aT: all O channels + depth
+        v["b"] = (jnp.einsum("bck,bkp->bcp", v["A"], gO,
+                             preferred_element_type=jnp.float32)
+                  + gd * v["t_all"])
+        return v
 
-    def chunk_vals(ci, T_in):
-        """Recompute the forward chunk quantities (identical arithmetic)."""
-        sl = pl.ds(ci * chunk, chunk)
-        mean2d = mean2d_ref[sl, :]
-        conic = conic_ref[sl, :]
-        opac = opac_ref[sl, 0]
-        color = color_ref[sl, :]
-        tc = t_ref[sl, 0]
-        rayp = rayp_ref[sl, :]
-        norm = norm_ref[sl, :]
-        mask = mask_ref[sl, 0]
-
-        dx = mean2d[None, :, 0] - pix[:, 0:1]
-        dy = mean2d[None, :, 1] - pix[:, 1:2]
-        power = (-0.5 * (conic[None, :, 0] * dx * dx
-                         + conic[None, :, 2] * dy * dy)
-                 - conic[None, :, 1] * dx * dy)
-        epow = jnp.exp(power)
-        alpha_raw = opac[None, :] * epow
-        alpha_c = jnp.minimum(0.99, alpha_raw)
-        ok = (power <= 0.0) & (alpha_c >= ALPHA_MIN) & (mask[None, :] > 0)
-        alpha0 = jnp.where(ok, alpha_c, 0.0)
-        one_m0 = 1.0 - alpha0
-        cum0 = jnp.cumprod(one_m0, axis=-1)
-        Tb0 = T_in * jnp.concatenate(
-            [jnp.ones_like(cum0[:, :1]), cum0[:, :-1]], axis=-1)
-        keep = jnp.cumprod((Tb0 * one_m0 >= T_MIN).astype(jnp.float32),
-                           axis=-1)
-        alpha = alpha0 * keep
-        one_m = 1.0 - alpha
-        cum = jnp.cumprod(one_m, axis=-1)
-        Tb = T_in * jnp.concatenate(
-            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=-1)
-        aT = alpha * Tb
-        t_all = tc[None, :] + rayp[None, :, 0] * dx + rayp[None, :, 1] * dy
-        # per-(pixel,entry) cotangent of aT
-        b = (jax.lax.dot_general(gc, color, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-             + gw + gd * t_all
-             + jax.lax.dot_general(gn, norm, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32))
-        # chain gate for dα -> (opacity, power): masked / terminated /
-        # 0.99-clamped entries receive zero gradient (AD semantics)
-        gate = jnp.where(ok & (alpha_raw < 0.99), keep, 0.0)
-        T_out = T_in * cum[:, -1:]
-        return dict(dx=dx, dy=dy, conic=conic, rayp=rayp, epow=epow,
-                    alpha_raw=alpha_raw, alpha=alpha, Tb=Tb, aT=aT,
-                    t_all=t_all, b=b, gate=gate, T_out=T_out)
-
-    # ---- pass 1: per-pixel totals ------------------------------------
-    def p1(ci, carry):
-        T, tot_ab, last_chunk = carry
-        v = chunk_vals(ci, T)
-        tot_ab = tot_ab + jnp.sum(v["aT"] * v["b"], axis=-1, keepdims=True)
+    # ---- pass 1: per-pixel totals, with the forward's early exit -----
+    def p1(state):
+        ci, (T, tot_ab, last_chunk) = state
+        v = with_b(ci, T)
+        tot_ab = tot_ab + jnp.sum(v["aT"] * v["b"], axis=1, keepdims=True)
         bm = (v["Tb"] > 0.5) & (v["aT"] > 0.0)
-        has = jnp.any(bm, axis=-1, keepdims=True)
+        has = jnp.any(bm, axis=1, keepdims=True)
         last_chunk = jnp.where(has, ci, last_chunk)
-        return v["T_out"], tot_ab, last_chunk
+        return ci + 1, (v["T_out"], tot_ab, last_chunk)
 
-    T_final, tot_ab, last_chunk = jax.lax.fori_loop(
-        0, n_chunks, p1,
-        (jnp.ones((PX, 1), jnp.float32), jnp.zeros((PX, 1), jnp.float32),
-         jnp.full((PX, 1), -1, jnp.int32)))
+    def p1_not_done(state):
+        ci, carry = state
+        return (ci < n_chunks) & (jnp.max(carry[0]) >= T_MIN)
 
-    gTT = gT * T_final  # (PX, 1)
+    n_act, (T_final, tot_ab, last_chunk) = jax.lax.while_loop(
+        p1_not_done, p1,
+        (jnp.int32(0),
+         (jnp.ones((tb, 1, PX), jnp.float32),
+          jnp.zeros((tb, 1, PX), jnp.float32),
+          jnp.full((tb, 1, PX), -1, jnp.int32))))
 
-    # ---- pass 2: per-entry gradients via prefix -> suffix ------------
+    gTT = gT * T_final  # (TB, 1, PX)
+
+    # ---- pass 2: prefix -> suffix, one packed dA per chunk -----------
     def p2(ci, carry):
         T, pre_ab = carry
-        v = chunk_vals(ci, T)
+        v = with_b(ci, T)
         ab = v["aT"] * v["b"]
-        ab_inc = pre_ab + jnp.cumsum(ab, axis=-1)
+        ab_inc = pre_ab + _prefix_strict(ab) + ab
         S = tot_ab - ab_inc  # suffix sum over later entries
         dalpha = v["Tb"] * v["b"] - (S + gTT) / (1.0 - v["alpha"])
         bm = (v["Tb"] > 0.5) & (v["aT"] > 0.0)
-        # median grad target mirrors the forward's chunked formulation:
-        # within the LAST chunk holding any bm entry, the slot at local
-        # position count(bm)-1 receives the median-depth cotangent
-        local_idx = jnp.sum(bm.astype(jnp.int32), axis=-1,
+        # median grad target mirrors the forward's chunked formulation
+        local_idx = jnp.sum(bm.astype(jnp.int32), axis=1,
                             keepdims=True) - 1
-        is_med = ((last_chunk == ci)
-                  & (jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
-                     == local_idx))
+        iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
+        is_med = (last_chunk == ci) & (iota == local_idx)
         dt_all = gd * v["aT"] + gmd * jnp.where(is_med, 1.0, 0.0)
+        dpower = dalpha * v["gate"] * v["alpha_raw"]  # d exp = exp
 
-        dalpha_raw = dalpha * v["gate"]            # (PX, C)
-        dpower = dalpha_raw * v["alpha_raw"]
-        dx, dy = v["dx"], v["dy"]
-        conic, rayp = v["conic"], v["rayp"]
-        ddx = (dpower * (-(conic[None, :, 0] * dx + conic[None, :, 1] * dy))
-               + dt_all * rayp[None, :, 0])
-        ddy = (dpower * (-(conic[None, :, 2] * dy + conic[None, :, 1] * dx))
-               + dt_all * rayp[None, :, 1])
-
-        sl = pl.ds(ci * chunk, chunk)
-        dm2d_out[sl, :] = jnp.stack(
-            [jnp.sum(ddx, axis=0), jnp.sum(ddy, axis=0)], axis=-1)
-        dcon_out[sl, :] = jnp.stack(
-            [jnp.sum(dpower * (-0.5 * dx * dx), axis=0),
-             jnp.sum(dpower * (-dx * dy), axis=0),
-             jnp.sum(dpower * (-0.5 * dy * dy), axis=0)], axis=-1)
-        dopa_out[sl, :] = jnp.sum(dalpha_raw * v["epow"], axis=0)[:, None]
-        dcol_out[sl, :] = jax.lax.dot_general(
-            v["aT"], gc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dt_out[sl, :] = jnp.sum(dt_all, axis=0)[:, None]
-        drp_out[sl, :] = jnp.stack(
-            [jnp.sum(dt_all * dx, axis=0),
-             jnp.sum(dt_all * dy, axis=0)], axis=-1)
-        dnrm_out[sl, :] = jax.lax.dot_general(
-            v["aT"], gn, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        return v["T_out"], ab_inc[:, -1:]
+        dA = (jnp.einsum("bcp,bkp->bck", v["aT"], gO,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bcp,bkp->bck", dpower, bp,
+                           preferred_element_type=jnp.float32)
+              + jnp.einsum("bcp,bkp->bck", dt_all, bt,
+                           preferred_element_type=jnp.float32))
+        da_out[:, pl.ds(ci * chunk, chunk), :] = dA
+        return v["T_out"], pre_ab + jnp.sum(ab, axis=1, keepdims=True)
 
     jax.lax.fori_loop(
-        0, n_chunks, p2,
-        (jnp.ones((PX, 1), jnp.float32), jnp.zeros((PX, 1), jnp.float32)))
+        0, n_act, p2,
+        (jnp.ones((tb, 1, PX), jnp.float32),
+         jnp.zeros((tb, 1, PX), jnp.float32)))
 
 
-def _tile_pixels(cfg: RasterizeConfig):
+# ---------------------------------------------------------------------------
+# packing + basis construction (XLA, differentiable)
+# ---------------------------------------------------------------------------
+
+def _tile_origins(cfg: RasterizeConfig):
     ty = jnp.arange(cfg.tiles_y)
     txs = jnp.arange(cfg.tiles_x)
     tgy, tgx = jnp.meshgrid(ty, txs, indexing="ij")
-    base = jnp.stack([tgx.reshape(-1) * TILE, tgy.reshape(-1) * TILE], -1)
-    oy, ox = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
-    offs = jnp.stack([ox.reshape(-1), oy.reshape(-1)], -1)
-    return (base[:, None, :] + offs[None, :, :]).astype(jnp.float32)
+    return (tgx.reshape(-1) * TILE).astype(jnp.float32), \
+        (tgy.reshape(-1) * TILE).astype(jnp.float32)
 
 
-def _entry_spec(K, c):
-    return pl.BlockSpec((1, K, c), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+def _basis_planes(cfg: RasterizeConfig):
+    """Per-tile (n_tiles, 16, PX) power/depth basis planes over tile-
+    LOCAL pixel coordinates (keeps the polynomial evaluation centered)."""
+    n_tiles = cfg.n_tiles
+    oy, ox = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32),
+                          jnp.arange(TILE, dtype=jnp.float32),
+                          indexing="ij")
+    x = ox.reshape(-1)
+    y = oy.reshape(-1)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    bp = jnp.stack([one, x, y, x * x, y * y, x * y] + [zero] * 10, 0)
+    bt = jnp.stack([zero] * 6 + [one, x, y] + [zero] * 7, 0)
+    return (jnp.broadcast_to(bp[None], (n_tiles, NCH, PX)),
+            jnp.broadcast_to(bt[None], (n_tiles, NCH, PX)))
 
 
-def _px_spec(c):
-    return pl.BlockSpec((1, PX, c), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+def _pack_entries(pre, colors, entry_gauss, entry_mask,
+                  cfg: RasterizeConfig):
+    """(n_tiles, K, 16) packed per-entry channels, tile-local coords.
+
+    Differentiable: XLA autodiff routes the kernel's dA back through
+    these expressions (and the gather) to the per-Gaussian attributes.
+    """
+    ox, oy = _tile_origins(cfg)
+    m2d = pre["mean2d"][entry_gauss]                     # (n_tiles, K, 2)
+    mx = m2d[..., 0] - ox[:, None]
+    my = m2d[..., 1] - oy[:, None]
+    con = pre["conic"][entry_gauss]
+    c0, c1, c2 = con[..., 0], con[..., 1], con[..., 2]
+    opa = pre["opacity"][entry_gauss]
+    tc = pre["t_center"][entry_gauss]
+    rp = pre["ray_plane"][entry_gauss]
+    rp0, rp1 = rp[..., 0], rp[..., 1]
+    col = colors[entry_gauss]
+    nrm = pre["normal"][entry_gauss]
+    mask = entry_mask.astype(jnp.float32)
+
+    q0 = (-0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my
+          + jnp.log(jnp.maximum(opa, 1e-30))
+          + jnp.where(mask > 0, 0.0, -1e30))
+    q1 = c0 * mx + c1 * my
+    q2 = c2 * my + c1 * mx
+    # t = tc + rp.(mean - pix): constant term keeps +rp.mean, the pixel
+    # coefficients flip sign
+    t0 = tc + rp0 * mx + rp1 * my
+    A = jnp.stack([q0, q1, q2, -0.5 * c0, -0.5 * c2, -c1,
+                   t0, -rp0, -rp1,
+                   col[..., 0], col[..., 1], col[..., 2],
+                   nrm[..., 0], nrm[..., 1], nrm[..., 2],
+                   jnp.ones_like(q0)], axis=-1)
+    return A
 
 
-# ---------------------------------------------------------------------------
-# custom-VJP blend over gathered per-tile entries
-# ---------------------------------------------------------------------------
+def _pick_tb_chunk(n_tiles, chunk, K):
+    """Largest tile batch of (8, 4, 2, 1) dividing n_tiles; shrink the
+    chunk so the (TB x chunk x PX) working set stays within VMEM."""
+    for tb in (8, 4, 2, 1):
+        if n_tiles % tb == 0:
+            break
+    while tb * chunk > 256 and chunk > 32:
+        chunk //= 2
+    while K % chunk:
+        chunk //= 2
+    return tb, max(chunk, 8)
 
-def _blend_call(meta, pix, m2d, con, opa, col, tt, rp, nr, mk):
-    chunk, K, interpret = meta
-    n_tiles = m2d.shape[0]
 
-    def kernel(pix_ref, m2d_r, con_r, opa_r, col_r, tt_r, rp_r, nr_r, mk_r,
-               c_out, w_out, d_out, md_out, n_out, t_out):
-        _blend_tile_kernel(
-            pix_ref.at[0], m2d_r.at[0], con_r.at[0], opa_r.at[0],
-            col_r.at[0], tt_r.at[0], rp_r.at[0], nr_r.at[0], mk_r.at[0],
-            c_out.at[0], w_out.at[0], d_out.at[0], md_out.at[0],
-            n_out.at[0], t_out.at[0],
-            chunk=chunk, k_entries=K)
+def _blend_call(meta, counts, A, bp, bt):
+    chunk0, K, interpret = meta
+    n_tiles = A.shape[0]
+    tb, chunk = _pick_tb_chunk(n_tiles, chunk0, K)
 
+    def espec(c):
+        return pl.BlockSpec((tb, K, c), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pspec(c):
+        return pl.BlockSpec((tb, c, PX), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(cnt, a, bpr, btr, o, d, md, t):
+        _blend_fwd_kernel(cnt, a, bpr, btr, o, d, md, t,
+                          tb=tb, chunk=chunk, k_entries=K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // tb,),
+        in_specs=[espec(NCH), pspec(NCH), pspec(NCH)],
+        out_specs=(pspec(NCH), pspec(1), pspec(1), pspec(1)),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[_px_spec(2), _entry_spec(K, 2), _entry_spec(K, 3),
-                  _entry_spec(K, 1), _entry_spec(K, 3), _entry_spec(K, 1),
-                  _entry_spec(K, 2), _entry_spec(K, 3), _entry_spec(K, 1)],
-        out_specs=(_px_spec(3), _px_spec(1), _px_spec(1), _px_spec(1),
-                   _px_spec(3), _px_spec(1)),
+        grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, PX, 3), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, PX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, PX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, PX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, PX, 3), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, PX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, NCH, PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
         ),
         interpret=interpret,
-    )(pix, m2d, con, opa, col, tt, rp, nr, mk)
+    )(counts, A, bp, bt)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend_entries(meta, pix, m2d, con, opa, col, tt, rp, nr, mk):
-    """Differentiable per-tile blend. meta = (chunk, K, interpret)."""
-    return _blend_call(meta, pix, m2d, con, opa, col, tt, rp, nr, mk)
+def _blend_entries(meta, counts, A, bp, bt):
+    """Differentiable packed blend. meta = (chunk, K, interpret)."""
+    return _blend_call(meta, counts, A, bp, bt)
 
 
-def _blend_entries_fwd(meta, pix, m2d, con, opa, col, tt, rp, nr, mk):
-    outs = _blend_call(meta, pix, m2d, con, opa, col, tt, rp, nr, mk)
-    return outs, (pix, m2d, con, opa, col, tt, rp, nr, mk)
+def _blend_entries_fwd(meta, counts, A, bp, bt):
+    return _blend_call(meta, counts, A, bp, bt), (counts, A, bp, bt)
 
 
 def _blend_entries_bwd(meta, res, cots):
-    chunk, K, interpret = meta
-    pix, m2d, con, opa, col, tt, rp, nr, mk = res
-    gc, gw, gd, gmd, gn, gT = cots
-    n_tiles = m2d.shape[0]
+    chunk0, K, interpret = meta
+    counts, A, bp, bt = res
+    gO, gd, gmd, gT = cots
+    n_tiles = A.shape[0]
+    tb, chunk = _pick_tb_chunk(n_tiles, chunk0, K)
 
-    def kernel(pix_ref, m2d_r, con_r, opa_r, col_r, tt_r, rp_r, nr_r, mk_r,
-               gc_r, gw_r, gd_r, gmd_r, gn_r, gT_r,
-               dm2d_o, dcon_o, dopa_o, dcol_o, dt_o, drp_o, dnrm_o):
-        _blend_tile_bwd_kernel(
-            pix_ref.at[0], m2d_r.at[0], con_r.at[0], opa_r.at[0],
-            col_r.at[0], tt_r.at[0], rp_r.at[0], nr_r.at[0], mk_r.at[0],
-            gc_r.at[0], gw_r.at[0], gd_r.at[0], gmd_r.at[0], gn_r.at[0],
-            gT_r.at[0],
-            dm2d_o.at[0], dcon_o.at[0], dopa_o.at[0], dcol_o.at[0],
-            dt_o.at[0], drp_o.at[0], dnrm_o.at[0],
-            chunk=chunk, k_entries=K)
+    def espec(c):
+        return pl.BlockSpec((tb, K, c), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    grads = pl.pallas_call(
+    def pspec(c):
+        return pl.BlockSpec((tb, c, PX), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(cnt, a, bpr, btr, go, gdr, gmdr, gTr, da):
+        _blend_bwd_kernel(cnt, a, bpr, btr, go, gdr, gmdr, gTr, da,
+                          tb=tb, chunk=chunk, k_entries=K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // tb,),
+        in_specs=[espec(NCH), pspec(NCH), pspec(NCH),
+                  pspec(NCH), pspec(1), pspec(1), pspec(1)],
+        out_specs=espec(NCH),
+    )
+    dA = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[_px_spec(2), _entry_spec(K, 2), _entry_spec(K, 3),
-                  _entry_spec(K, 1), _entry_spec(K, 3), _entry_spec(K, 1),
-                  _entry_spec(K, 2), _entry_spec(K, 3), _entry_spec(K, 1),
-                  _px_spec(3), _px_spec(1), _px_spec(1), _px_spec(1),
-                  _px_spec(3), _px_spec(1)],
-        out_specs=(_entry_spec(K, 2), _entry_spec(K, 3), _entry_spec(K, 1),
-                   _entry_spec(K, 3), _entry_spec(K, 1), _entry_spec(K, 2),
-                   _entry_spec(K, 3)),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, K, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, K, 3), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, K, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, K, 3), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, K, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, K, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, K, 3), jnp.float32),
-        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K, NCH), jnp.float32),
         interpret=interpret,
-    )(pix, m2d, con, opa, col, tt, rp, nr, mk, gc, gw, gd, gmd, gn, gT)
-
-    dm2d, dcon, dopa, dcol, dt, drp, dnrm = grads
-    return (jnp.zeros_like(pix), dm2d, dcon, dopa, dcol, dt, drp, dnrm,
-            jnp.zeros_like(mk))
+    )(counts, A, bp, bt, gO, gd, gmd, gT)
+    return None, dA, jnp.zeros_like(bp), jnp.zeros_like(bt)
 
 
 _blend_entries.defvjp(_blend_entries_fwd, _blend_entries_bwd)
@@ -393,22 +411,19 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
     entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
     _, K = entry_gauss.shape
 
-    # gather entry attributes (differentiable: XLA scatter-adds on the
-    # transpose route the per-entry grads back to per-Gaussian grads)
-    g_mean2d = pre["mean2d"][entry_gauss]
-    g_conic = pre["conic"][entry_gauss]
-    g_opac = pre["opacity"][entry_gauss][..., None]
-    g_color = colors[entry_gauss]
-    g_t = pre["t_center"][entry_gauss][..., None]
-    g_rayp = pre["ray_plane"][entry_gauss]
-    g_norm = pre["normal"][entry_gauss]
-    g_mask = entry_mask.astype(jnp.float32)[..., None]
+    A = _pack_entries(pre, colors, entry_gauss, entry_mask, cfg)
+    bp, bt = _basis_planes(cfg)
+    counts = jnp.sum(entry_mask.astype(jnp.int32), axis=1)  # (n_tiles,)
+    O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, K, interpret),
+                                         counts, A, bp, bt)
+    Opx = O.swapaxes(1, 2)                       # (n_tiles, PX, 16)
+    csum = Opx[..., 9:12]
+    nsum = Opx[..., 12:15]
+    wsum = Opx[..., 15:16]
+    dsum = dsum3.swapaxes(1, 2)
+    mdep = mdep3.swapaxes(1, 2)
+    T = T3.swapaxes(1, 2)
 
-    pix = _tile_pixels(cfg)
-    outs = _blend_entries((cfg.chunk, K, interpret), pix, g_mean2d, g_conic,
-                          g_opac, g_color, g_t, g_rayp, g_norm, g_mask)
-
-    csum, wsum, dsum, mdep, nsum, T = outs
     fx, fy = K4[0], K4[1]
     color_img = _untile(csum, cfg) + _untile(T, cfg) * bg
     w = _untile(wsum, cfg)[..., 0]

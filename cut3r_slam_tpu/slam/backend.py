@@ -226,9 +226,10 @@ class TrackBackend:
         t0 = sub_m * SUBMAP_SIZE
         kf = self.kf
         idxs = list(range(t0, t0 + SUBMAP_SIZE)) + [current_idx]
-        imgs = kf.image[idxs]
-        pts_self, conf_self, c2w = self.fe._infer(
-            self.fe.params, jnp.asarray(imgs))
+        # decode from the stored encoder tokens (every KF carries its
+        # featI from the motion filter; no encoder re-pass)
+        feat = kf.featI[jnp.asarray(idxs)]
+        pts_self, conf_self, c2w = self.fe._infer(self.fe.params, feat)
         anchor_c2w = jnp.asarray(pose_vec_to_matrix(jnp.asarray(kf.pose[t0])))
         prev_depth0 = jnp.asarray(kf.depth[t0])
         poses, depths, pts_world, pts_ds, conf, conf_ds = submap_postprocess(

@@ -106,13 +106,26 @@ class TrackFrontend:
         self.t1 = 0
         self.V = SUBMAP_SIZE + 1
 
+        H, W = keyframes.img_hw
+        p16 = model.cfg.patch_size
+
         @jax.jit
-        def _infer(params, imgs_u8):
-            """imgs_u8: (V, H, W, 3) -> submap predictions. Only the
-            self-pointmap + pose heads run (prepare_output use_pose=True
-            consumes nothing else) — skips two DPT pyramids per view."""
-            x = normalize_images(imgs_u8)[:, None]  # (V, 1, H, W, 3)
-            out = model.apply(params, x, head_outputs=("self", "pose"))
+        def _infer(params, feat):
+            """feat: (V, N, enc_dim) STORED encoder tokens -> submap
+            predictions. The motion filter already ran the ViT-L encoder
+            for every keyframe (kf.featI = encode_image output, the same
+            tokens _encode_views produces) — the submap step decodes
+            straight from them, skipping the 6-view encoder re-pass the
+            reference performs (track_frontend.py:166's full inference).
+            Only the self-pointmap + pose heads run (prepare_output
+            use_pose=True consumes nothing else)."""
+            from ..models.patch_embed import patch_positions
+            V = feat.shape[0]
+            pos = patch_positions(V, H // p16, W // p16)
+            out, _ = model.apply(params, feat[:, None], pos[:, None],
+                                 H, W, None, jnp.int32(0),
+                                 method=CUT3R.decode_views,
+                                 head_outputs=("self", "pose"))
             pose = out["camera_pose"][:, 0]  # (V, 7) wxyz
             from ..geometry.quaternion import wxyz_to_xyzw, quat_to_matrix
             q = wxyz_to_xyzw(pose[:, 3:7])
@@ -130,11 +143,12 @@ class TrackFrontend:
         kf = self.keyframes
         n = t1 - t0
         assert 1 < n <= self.V
-        imgs = kf.image[t0:t1]
-        if n < self.V:  # pad with the last image; outputs ignored
-            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], self.V - n, 0)])
+        feat = kf.featI[t0:t1]
+        if n < self.V:  # pad with the last KF's tokens; outputs ignored
+            feat = jnp.concatenate(
+                [feat, jnp.repeat(feat[-1:], self.V - n, 0)])
 
-        pts_self, conf_self, c2w = self._infer(self.params, jnp.asarray(imgs))
+        pts_self, conf_self, c2w = self._infer(self.params, feat)
 
         anchor_c2w = jnp.asarray(pose_vec_to_matrix(jnp.asarray(kf.pose[t0])))
         prev_depth0 = jnp.asarray(kf.depth[t0])

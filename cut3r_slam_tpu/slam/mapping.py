@@ -225,12 +225,22 @@ class MappingBackend:
                         + cfg.lambda_normal * norm_l + cfg.lambda_iso * iso)
                 return loss, out["radii"], vis
 
-            losses, radii, vis = jax.vmap(per_view)(jnp.arange(W_SIZE))
-            total = (losses * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+            # sequential over the window with rematerialization: a vmap
+            # here keeps W_SIZE full rasterizer forwards live at once and
+            # OOMs HBM at 512x384/2^17 gaussians; the reference renders
+            # window views one-by-one too (gs_backend_per_frame.py:451+)
+            def body(acc, i):
+                loss, radii, vis = jax.checkpoint(per_view)(i)
+                return acc + loss * weights[i], (radii, vis)
+
+            total, (radii, vis) = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(W_SIZE))
+            total = total / jnp.maximum(weights.sum(), 1.0)
             return total, (radii, vis)
 
         def optimize(arena: GaussianArena, adam, cams: CameraBuffer,
-                     window_idx, weights, iters: int, optimize_pose: bool):
+                     window_idx, weights, iters: int, optimize_pose: bool,
+                     pd_adam=None, ex_adam=None):
             params = arena.params()
             images = cams.image[window_idx].astype(jnp.float32) / 255.0
             depths_gt = cams.depth[window_idx].astype(jnp.float32)
@@ -239,8 +249,13 @@ class MappingBackend:
                            "r": jnp.zeros((W_SIZE, 3))}
             exposure = {"a": cams.exposure_a[window_idx],
                         "b": cams.exposure_b[window_idx]}
-            pd_adam = _adam_init(pose_deltas)
-            ex_adam = _adam_init(exposure)
+            # pose/exposure Adam moments thread across opt segments (the
+            # reference keeps them for the whole optimization() call,
+            # gs_backend_per_frame.py:477); callers pass the carried state
+            if pd_adam is None:
+                pd_adam = _adam_init(pose_deltas)
+            if ex_adam is None:
+                ex_adam = _adam_init(exposure)
             lrs_pd = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
             lrs_ex = {"a": cfg.exposure_lr, "b": cfg.exposure_lr}
 
@@ -269,8 +284,8 @@ class MappingBackend:
 
             carry = (params, adam, pose_deltas, pd_adam, exposure, ex_adam, w2c)
             carry, losses = jax.lax.scan(step, carry, None, length=iters)
-            params, adam, _, _, exposure, _, w2c = carry
-            return params, adam, w2c, exposure, losses[-1]
+            params, adam, _, pd_adam, exposure, ex_adam, w2c = carry
+            return params, adam, w2c, exposure, losses[-1], pd_adam, ex_adam
 
         self._optimize = jax.jit(optimize,
                                  static_argnames=("iters", "optimize_pose"))
@@ -473,34 +488,37 @@ class MappingBackend:
                      optimize_pose: bool = True):
         """Segmented so every call shares ONE compiled program per
         optimize_pose variant (single-core XLA compiles are the
-        bottleneck on this box). The pose/exposure Adam state restarts
-        every segment — the reference restarts it every optimization()
-        call (gs_backend_per_frame.py:477), so this only shortens the
-        pose-moment horizon; the Gaussian Adam state persists exactly."""
+        bottleneck on this box). Pose/exposure Adam moments thread
+        across the segments, matching the reference's per-call horizon
+        (gs_backend_per_frame.py:477); the Gaussian Adam state persists
+        across calls exactly as the reference's optimizer does."""
         idx, wts = self._window_arrays(window)
         seg = self.cfg.opt_segment
         loss = 0.0
         w2c = exposure = None
+        W_SIZE = self.cfg.window_size
+        pd_adam = _adam_init({"t": jnp.zeros((W_SIZE, 3)),
+                              "r": jnp.zeros((W_SIZE, 3))})
+        ex_adam = _adam_init({"a": jnp.zeros((W_SIZE, 3, 3)),
+                              "b": jnp.zeros((W_SIZE, 3))})
         for _ in range(max(1, (int(iters) + seg - 1) // seg)):
-            params, self.adam, w2c, exposure, loss = self._optimize(
-                self.arena, self.adam, self.cams, idx, wts,
-                seg, bool(optimize_pose))
+            params, self.adam, w2c, exposure, loss, pd_adam, ex_adam = \
+                self._optimize(self.arena, self.adam, self.cams, idx, wts,
+                               seg, bool(optimize_pose), pd_adam, ex_adam)
             self.arena = self.arena.with_params(params)
             if optimize_pose:
+                # write poses AND exposure back every segment — the next
+                # segment regathers both from cams, so skipping the
+                # exposure writeback would discard its progress
                 n = int(wts.sum())
-                for i in range(n):
-                    k = int(idx[i])
-                    self.cams = dataclasses.replace(
-                        self.cams, w2c=self.cams.w2c.at[k].set(w2c[i]))
-        # exposure writeback once at the end
-        if optimize_pose and exposure is not None:
-            n = int(wts.sum())
-            for i in range(n):
-                k = int(idx[i])
+                ki = jnp.asarray(np.asarray(idx)[:n])
                 self.cams = dataclasses.replace(
                     self.cams,
-                    exposure_a=self.cams.exposure_a.at[k].set(exposure["a"][i]),
-                    exposure_b=self.cams.exposure_b.at[k].set(exposure["b"][i]))
+                    w2c=self.cams.w2c.at[ki].set(w2c[:n]),
+                    exposure_a=self.cams.exposure_a.at[ki].set(
+                        exposure["a"][:n]),
+                    exposure_b=self.cams.exposure_b.at[ki].set(
+                        exposure["b"][:n]))
         return float(loss)
 
     def pose_refine(self, idx: int):

@@ -252,11 +252,12 @@ class SLAMSystem:
             if im_t.shape[:2] != (th, tw):
                 im_t = np.stack([_resize_f(im_t[..., c], tw, th)
                                  for c in range(3)], -1).astype(np.uint8)
-            imgs = np.stack([kf.image[i], im_t])
+            # _infer decodes from encoder tokens: the anchor KF's are
+            # stored (featI); the middle frame is encoded once here
+            feat_mid = self.filter.encode(im_t)
+            feat = jnp.stack([kf.featI[i]] + [feat_mid] * 5)
             pts_self, conf_self, c2w = self.frontend._infer(
-                self.frontend.params,
-                jnp.asarray(np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], 4, 0)])))
+                self.frontend.params, feat)
             from .frontend import submap_postprocess
             from ..geometry.pointmap import pose_vec_to_matrix
             anchor = jnp.asarray(np.asarray(pose_vec_to_matrix(

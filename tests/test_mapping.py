@@ -54,8 +54,9 @@ def test_seed_and_optimize_improves_psnr(backend):
     be.optimization(100, [0], optimize_pose=False)
     p1 = be.eval_view(0)
     assert p1 > p0, (p0, p1)
-    # toy scene, 0.1-opacity init, 100 iters: well above the seeded render
-    assert p1 > 10.0, p1
+    # toy scene, 0.1-opacity init, 100 iters: measured 19.4 dB (seeded
+    # render is ~9.2 dB) — regression margin at 17
+    assert p1 > 17.0, p1
 
 
 def test_rendered_depth_close_to_gt(backend):
@@ -80,7 +81,9 @@ def test_pose_refine_recovers_perturbation(backend):
     err_before = np.abs(np.asarray(be.cams.w2c[1]) - true_w2c).max()
     be.pose_refine(1)
     err_after = np.abs(np.asarray(be.cams.w2c[1]) - true_w2c).max()
-    assert err_after < err_before, (err_before, err_after)
+    # 20 refine iters on the toy plane recover ~23% of the perturbation
+    # (measured 0.77 ratio); assert a real decrease, not just any change
+    assert err_after < 0.85 * err_before, (err_before, err_after)
 
 
 def test_global_ba_runs_and_densifies(backend):

@@ -107,3 +107,30 @@ def test_detect_loop_gap():
     g.add_factors([20, 20], [1, 19])
     cand = g.detect_loop(20, temporal_window=8)
     assert cand is not None and list(cand) == [1]
+
+
+def test_infer_from_stored_tokens_matches_full_forward(setup):
+    """The frontend decodes from kf.featI (motion-filter encoder output);
+    results must equal the full image forward — the encoder tokens are
+    the same, the recurrence starts fresh either way."""
+    model, params, cfg = setup
+    kf = KeyframeStore(capacity=8, img_hw=(H, W), feat_tokens=TOKENS,
+                       feat_dim=cfg.enc_embed_dim)
+    fe = TrackFrontend(model, params, kf, FactorGraph())
+    mf = MotionFilter(model, params, kf, kf_every=1)
+    frames = _frames(SUBMAP_SIZE + 1)
+    for t, f in enumerate(frames):
+        mf(t, f)  # encodes + stores featI
+    assert kf.count == SUBMAP_SIZE + 1
+
+    pts_feat, conf_feat, c2w_feat = fe._infer(params, kf.featI[:fe.V])
+
+    from cut3r_slam_tpu.models.cut3r import normalize_images
+    x = normalize_images(jnp.asarray(np.stack(frames)))[:, None]
+    out = model.apply(params, x, head_outputs=("self", "pose"))
+    np.testing.assert_allclose(np.asarray(pts_feat),
+                               np.asarray(out["pts3d_in_self_view"][:, 0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(conf_feat),
+                               np.asarray(out["conf_self"][:, 0]),
+                               atol=1e-4, rtol=1e-4)
