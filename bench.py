@@ -1,7 +1,15 @@
 """Benchmark: END-TO-END SLAM FPS on the available device.
 
-Prints ONE JSON line:
+Prints JSON lines as results accumulate; the LAST line printed is the
+final result:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "breakdown": {...}}
+
+Timeout-proofing (the round-2 bench died rc=124 with zero output):
+- a result line is (re)printed after EVERY timed frame, so an external
+  kill at any point still leaves the best-so-far number on stdout;
+- an internal wall-clock budget (BENCH_BUDGET_S, default 18 min) makes
+  the bench skip remaining stages and finish with what it has;
+- every optional stage (rasterizer micro-bench) is try/except'd.
 
 Baseline: the reference runs Replica room0 (2000 frames) in ~2 min on an
 RTX 4090 (~16 FPS end-to-end, /root/reference/README.md:114). This bench
@@ -15,8 +23,9 @@ timings.
 Honesty notes: the model is random-init (no checkpoint in this image), so
 keyframing uses a fixed interval (kf_every=2, denser than the feature-
 overlap filter typically fires) and loop closure does not trigger — both
-make the reported number PESSIMISTIC vs a real run. Warmup frames and the
-terminate() flush are excluded; compiles are cached across runs.
+make the reported number PESSIMISTIC vs a real run. The reported FPS is
+the median frame time over the steady-state window (or the last 10
+frames if the budget cut the run short); compiles are cached across runs.
 """
 import json
 import os
@@ -33,6 +42,24 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 BASELINE_FPS = 16.0  # reference end-to-end FPS on RTX 4090 (README.md:114)
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1080))
+
+
+def remaining():
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def note(msg):
+    """Progress marker on stderr so an external timeout log shows WHERE
+    the run was (which frame / which stage was compiling)."""
+    import sys
+    print(f"[bench +{time.perf_counter() - T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def synth_frames(n, H, W, seed=0):
@@ -47,8 +74,13 @@ def synth_frames(n, H, W, seed=0):
     return [pano[8:8 + H, i * 8:i * 8 + W] for i in range(n)]
 
 
-def raster_micro(H, W, on_tpu):
-    """Rasterizer forward/backward micro-timings on a realistic load."""
+def raster_micro(H, W, on_tpu, use_pallas):
+    """Rasterizer forward/backward micro-timings on a realistic load.
+
+    use_pallas mirrors the mapping backend's auto selection
+    (MappingConfig.raster_backend='auto' -> Pallas on TPU), so the micro
+    numbers characterize the path mapping actually runs.
+    """
     from cut3r_slam_tpu.ops.gs_raster import RasterizeConfig
     from cut3r_slam_tpu.slam.renderer import render_view
     from cut3r_slam_tpu.slam.gaussian_map import GaussianArena
@@ -68,7 +100,8 @@ def raster_micro(H, W, on_tpu):
     arena = dataclasses.replace(
         arena, xyz=arena.xyz.at[:, 2].add(4.0))
     K4 = jnp.asarray([0.9 * W, 0.9 * W, W / 2, H / 2], jnp.float32)
-    rcfg = RasterizeConfig(height=H, width=W, max_per_tile=512)
+    rcfg = RasterizeConfig(height=H, width=W, max_per_tile=512,
+                           use_pallas=use_pallas)
     w2c = jnp.eye(4)
     params = arena.params()
 
@@ -115,6 +148,11 @@ def main():
         n_frames, warm_frames = 18, 10
         arena_capacity = 2 ** 12
 
+    metric = ("slam_e2e_fps_512x384" if on_tpu else "slam_e2e_fps_tiny_cpu")
+    result = {"metric": metric, "value": None, "unit": "frames/s",
+              "vs_baseline": None, "frames": 0, "breakdown": {}}
+
+    note(f"init model ({metric})")
     model = CUT3R(mcfg)
     params = model.init(
         jax.random.PRNGKey(0),
@@ -132,48 +170,64 @@ def main():
     frames = synth_frames(n_frames, H, W)
     K4 = np.asarray([0.9 * W, 0.9 * W, W / 2, H / 2], np.float32)
 
-    # warmup: run enough frames to trigger every jit program once
-    # (encoder, submap track, pose refine, window opt, global BA)
-    for t in range(warm_frames):
-        slam.run(t, frames[t], K4)
-
-    # timed section: per-frame wall times; the reported FPS uses the
-    # MEDIAN frame time so a first-time XLA compile of a late-triggering
-    # program (window-full optimize, first GBA bucket) cannot poison the
-    # steady-state number — mean FPS is reported alongside for honesty
-    timer.totals.clear()
-    timer.counts.clear()
+    # One loop doubles as warmup + timed section. After every frame we
+    # recompute a best-so-far FPS (median over the steady-state window if
+    # reached, else the last up-to-10 frames) and RE-EMIT the result line,
+    # so an external timeout at any moment leaves a parsable number.
     frame_t = []
-    t_all0 = time.perf_counter()
-    for t in range(warm_frames, n_frames):
+    n_done = 0
+    for t in range(n_frames):
+        if t > 2 and remaining() < 30:
+            result["breakdown"]["budget_cut_at_frame"] = t
+            break
         t0 = time.perf_counter()
+        note(f"frame {t}")
         slam.run(t, frames[t], K4)
         # host readback = reliable device sync (axon tunnel ignores
         # block_until_ready)
         _ = np.asarray(slam.keyframes.pts_ds[0, 0, 0])
         frame_t.append(time.perf_counter() - t0)
-    dt = time.perf_counter() - t_all0
-    n_timed = n_frames - warm_frames
-    fps = 1.0 / float(np.median(frame_t))
-    fps_mean = n_timed / dt
-
-    t_fwd, t_bwd = raster_micro(H // 1, W // 1, on_tpu)
+        n_done = t + 1
+        if n_done >= 3:
+            if n_done > warm_frames + 3:
+                window = frame_t[warm_frames:]
+                steady = True
+            else:
+                window = frame_t[-10:]
+                steady = False
+            fps = 1.0 / float(np.median(window))
+            result["value"] = round(fps, 3)
+            result["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+            result["frames"] = len(window)
+            result["steady_state"] = steady
+            emit(result)
+        if t == warm_frames - 1:
+            timer.totals.clear()
+            timer.counts.clear()
 
     stage = timer.summary()
-    breakdown = {k: v["mean_ms"] for k, v in stage.items()}
-    breakdown["raster_fwd_ms"] = round(t_fwd * 1e3, 3)
-    breakdown["raster_bwd_ms"] = round(t_bwd * 1e3, 3)
+    result["breakdown"].update(
+        {k: v["mean_ms"] for k, v in stage.items()})
+    if n_done > warm_frames:
+        dt = sum(frame_t[warm_frames:n_done])
+        result["fps_mean_incl_compiles"] = round(
+            (n_done - warm_frames) / dt, 3)
+    emit(result)
 
-    print(json.dumps({
-        "metric": ("slam_e2e_fps_512x384" if on_tpu
-                   else "slam_e2e_fps_tiny_cpu"),
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "frames": n_timed,
-        "fps_mean_incl_compiles": round(fps_mean, 3),
-        "breakdown": breakdown,
-    }))
+    # rasterizer micro-bench on the SAME backend mapping auto-selects
+    if remaining() > 120:
+        try:
+            from cut3r_slam_tpu.slam.mapping import MappingConfig
+            use_pallas = on_tpu and MappingConfig().raster_backend in (
+                "auto", "pallas")
+            t_fwd, t_bwd = raster_micro(H, W, on_tpu, use_pallas)
+            result["breakdown"]["raster_fwd_ms"] = round(t_fwd * 1e3, 3)
+            result["breakdown"]["raster_bwd_ms"] = round(t_bwd * 1e3, 3)
+            result["breakdown"]["raster_backend"] = (
+                "pallas" if use_pallas else "xla")
+        except Exception as e:  # never lose the e2e number to the micro
+            result["breakdown"]["raster_micro_error"] = repr(e)[:200]
+        emit(result)
 
 
 if __name__ == "__main__":

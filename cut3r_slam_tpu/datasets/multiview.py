@@ -81,7 +81,10 @@ def sample_view_offsets(rng, num_views: int, span: int,
                 [[0], np.cumsum(rng.integers(1, max_interval + 1,
                                              num_views - 1))])
         return np.minimum(offs, span - 1)
-    offs = np.sort(rng.choice(span, size=min(num_views, span),
+    # always return exactly num_views offsets (replace=True once the
+    # span is exhausted) so fixed-V batch collation never sees a ragged
+    # view tuple
+    offs = np.sort(rng.choice(span, size=num_views,
                               replace=num_views > span))
     if block_shuffle and num_views > block_shuffle:
         for s in range(0, num_views, block_shuffle):

@@ -200,3 +200,89 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 def load_cut3r_params(path: str):
     """Load + convert a CUT3R torch checkpoint to flax params."""
     return convert_state_dict(load_torch_checkpoint(path))
+
+
+# ---------------------------------------------------------------------------
+# Spann3R checkpoint converter (hislam2/modules/spann3r.py layout)
+# ---------------------------------------------------------------------------
+
+def _spann3r_key_to_flax(key: str, w: np.ndarray):
+    """Map one Spann3R torch state_dict entry to (flax path, value).
+
+    Reference layout (spann3r.py:223-278): ``dust3r.*`` wraps the public
+    DUSt3R_ViTLarge_BaseDecoder state_dict (enc_blocks / dec_blocks /
+    dec_blocks2 / downstream_head{1,2}); the memory modules live at the
+    top level (value_encoder.N, value_norm/out, pos_patch_embed,
+    norm_{q,k,v}, attn_head_{1,2}).
+    """
+    p = key.split(".")
+    if p[0] == "dust3r":
+        q = p[1:]
+        if q[0] == "patch_embed":
+            leaf = "kernel" if q[2] == "weight" else "bias"
+            return ("dust3r", "patch_embed", "proj", leaf), \
+                _conv(w) if q[2] == "weight" else w
+        if q[0] in ("enc_blocks", "dec_blocks", "dec_blocks2"):
+            path, val = _convert_block_leaf(q[2:], w)
+            return ("dust3r", f"{q[0]}_{q[1]}") + path, val
+        if q[0] in ("enc_norm", "dec_norm"):
+            return ("dust3r", q[0],
+                    "scale" if q[1] == "weight" else "bias"), w
+        if q[0] == "decoder_embed":
+            leaf = "kernel" if q[1] == "weight" else "bias"
+            return ("dust3r", "decoder_embed", leaf), \
+                _linear(w) if q[1] == "weight" else w
+        if q[0] in ("downstream_head1", "downstream_head2"):
+            if q[1] == "proj":        # LinearPts3d
+                leaf = "kernel" if q[2] == "weight" else "bias"
+                return ("dust3r", q[0], "proj", leaf), \
+                    _linear(w) if q[2] == "weight" else w
+            if q[1] == "dpt":
+                path, val = _convert_dpt(q[2:], w, key)
+                return ("dust3r", q[0], "dpt") + path, val
+        raise KeyError(f"unmapped spann3r dust3r key: {key}")
+    if p[0] == "value_encoder":
+        path, val = _convert_block_leaf(p[2:], w)
+        return (f"value_encoder_{p[1]}",) + path, val
+    if p[0] == "value_norm":
+        return ("value_norm", "scale" if p[1] == "weight" else "bias"), w
+    if p[0] == "value_out":
+        leaf = "kernel" if p[1] == "weight" else "bias"
+        return ("value_out", leaf), _linear(w) if p[1] == "weight" else w
+    if p[0] == "pos_patch_embed":
+        leaf = "kernel" if p[2] == "weight" else "bias"
+        return ("pos_patch_embed", "proj", leaf), \
+            _conv(w) if p[2] == "weight" else w
+    if p[0] in ("norm_q", "norm_k", "norm_v"):
+        return (p[0], "scale" if p[1] == "weight" else "bias"), w
+    if p[0] in ("attn_head_1", "attn_head_2"):
+        leaf = "kernel" if p[2] == "weight" else "bias"
+        fc = {"0": "fc1", "2": "fc2"}[p[1]]
+        return (p[0], fc, leaf), _linear(w) if p[2] == "weight" else w
+    raise KeyError(f"unmapped spann3r key: {key}")
+
+
+_SPANN3R_SKIP = ("mem_dropout", "dust3r.mask_token",
+                 "dust3r.prediction_head", "dust3r.enc_pos_embed",
+                 "dust3r.dec_pos_embed", "dust3r.mask_generator")
+
+
+def convert_spann3r_state_dict(sd):
+    """Spann3R torch state_dict -> nested flax params for models/spann3r.
+
+    Parity-tested against a torch oracle assembled from the snapshot's
+    dust3r blocks (tests/test_spann3r_convert.py).
+    """
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    params = {}
+    for key, val in sd.items():
+        if any(key.startswith(s) for s in _SPANN3R_SKIP):
+            continue
+        w = np.asarray(val.float().numpy() if hasattr(val, "float") else val,
+                       dtype=np.float32)
+        path, v = _spann3r_key_to_flax(key, w)
+        node = params
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = v
+    return {"params": params}

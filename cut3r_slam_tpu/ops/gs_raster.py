@@ -383,9 +383,14 @@ def _blend_tiles(pre, colors, entry_gauss, entry_mask, bg, cfg: RasterizeConfig)
         Coordsum = Coordsum + jnp.einsum("tpc,tpcf->tpf", aT, coord)
         Nsum = Nsum + jnp.einsum("tpc,tcf->tpf", aT, norm)
 
-        # median: last contribution with Tb > 0.5
+        # median: LAST contribution with Tb > 0.5. NOTE: bm is not
+        # prefix-contiguous (mid-chunk entries can be rejected while
+        # later ones contribute), so the index must be a masked max of
+        # iota — sum(bm)-1 picks the wrong entry and its error depends
+        # on the chunk size (which differs from the Pallas path).
         bm = (Tb > 0.5) & contrib
-        idx = jnp.sum(bm.astype(jnp.int32), axis=-1) - 1  # (tiles, px)
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, bm.shape, bm.ndim - 1)
+        idx = jnp.max(jnp.where(bm, iota_e, -1), axis=-1)  # (tiles, px)
         has = idx >= 0
         idx_c = jnp.maximum(idx, 0)
         md = jnp.take_along_axis(t_all, idx_c[..., None], axis=-1)[..., 0]

@@ -55,6 +55,11 @@ __all__ = ["rasterize_pallas_forward", "rasterize_pallas"]
 PX = TILE * TILE  # 256 pixels per tile
 NCH = 16          # packed entry channels
 
+# In-kernel matmul precision: Mosaic's DEFAULT lowers f32 dots to ONE
+# bf16 MXU pass, which wrecks the blend numerics (compiled-vs-interpret
+# color maxdiff ~0.6 observed on a v5 chip). HIGHEST = exact f32.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def _tri_strict(C):
     """(C, C) 0/1 strict lower-triangular matrix: tri[i, j] = [j < i]."""
@@ -66,7 +71,8 @@ def _tri_strict(C):
 def _prefix_strict(x):
     """Strict prefix sum along the ENTRY axis (axis 1 of (TB, C, PX))."""
     return jnp.einsum("ij,bjp->bip", _tri_strict(x.shape[1]), x,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=_PREC)
 
 
 def _chunk_blend(a_ref, bp, bt, sl, T_in):
@@ -76,12 +82,23 @@ def _chunk_blend(a_ref, bp, bt, sl, T_in):
     basis planes; T_in: (TB, 1, PX). Returns (TB, C, PX) maps.
     """
     A = a_ref[:, sl, :]                                   # (TB, C, 16)
-    power = jnp.einsum("bck,bkp->bcp", A, bp,
-                       preferred_element_type=jnp.float32)
-    t_all = jnp.einsum("bck,bkp->bcp", A, bt,
-                       preferred_element_type=jnp.float32)
+    # The power/depth polynomials are evaluated ELEMENTWISE on the VPU
+    # (broadcast FMAs), not as an A @ basis MXU contraction: the K=16
+    # contraction wastes 7/8 of the systolic array AND the quadratic
+    # terms (x^2 up to 225) lose too much mantissa in bf16 passes.
+    x = bp[:, 1:2, :]                                      # (TB, 1, PX)
+    y = bp[:, 2:3, :]
+    ch = [A[:, :, k:k + 1] for k in range(9)]              # (TB, C, 1)
+    power = (ch[0] + ch[1] * x + ch[2] * y
+             + ch[3] * (x * x) + ch[4] * (y * y) + ch[5] * (x * y))
+    t_all = ch[6] + ch[7] * x + ch[8] * y
     alpha_raw = jnp.exp(power)       # includes log-opacity and mask in q0
     alpha_c = jnp.minimum(0.99, alpha_raw)
+    # INTENTIONAL divergence from the XLA path's `power <= 0` reject
+    # (gs_raster.py; CUDA forward.cu:560): log-opacity is folded into q0
+    # so the opacity-free exponent is unrecoverable here. The guard only
+    # fires for numerically indefinite conics; those yield alpha_raw > 1
+    # which the 0.99 clamp bounds, and the bwd `gate` zeroes their grads.
     ok = alpha_c >= ALPHA_MIN
     alpha0 = jnp.where(ok, alpha_c, 0.0)
     log1m0 = jnp.log(jnp.maximum(1.0 - alpha0, 1e-20))
@@ -128,13 +145,16 @@ def _blend_fwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
         v = _chunk_blend(a_ref, bp, bt, pl.ds(ci * chunk, chunk), T)
         aT, t_all = v["aT"], v["t_all"]
         osum = osum + jnp.einsum("bcp,bck->bkp", aT, v["A"],
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PREC)
         dsum = dsum + jnp.sum(aT * t_all, axis=1, keepdims=True)
 
+        # median: LAST entry with Tb > 0.5 that contributes — masked max
+        # of iota (bm is NOT prefix-contiguous; see gs_raster.py note)
         bm = (v["Tb"] > 0.5) & (aT > 0.0)
-        idx = jnp.sum(bm.astype(jnp.int32), axis=1, keepdims=True) - 1
-        has = idx >= 0
         iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
+        idx = jnp.max(jnp.where(bm, iota, -1), axis=1, keepdims=True)
+        has = idx >= 0
         take = jnp.sum(jnp.where(iota == idx, t_all, 0.0), axis=1,
                        keepdims=True)
         mdep = jnp.where(has, take, mdep)
@@ -174,7 +194,8 @@ def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
         v = _chunk_blend(a_ref, bp, bt, pl.ds(ci * chunk, chunk), T)
         # per-(entry, pixel) cotangent of aT: all O channels + depth
         v["b"] = (jnp.einsum("bck,bkp->bcp", v["A"], gO,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_PREC)
                   + gd * v["t_all"])
         return v
 
@@ -210,20 +231,23 @@ def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
         S = tot_ab - ab_inc  # suffix sum over later entries
         dalpha = v["Tb"] * v["b"] - (S + gTT) / (1.0 - v["alpha"])
         bm = (v["Tb"] > 0.5) & (v["aT"] > 0.0)
-        # median grad target mirrors the forward's chunked formulation
-        local_idx = jnp.sum(bm.astype(jnp.int32), axis=1,
-                            keepdims=True) - 1
+        # median grad target mirrors the forward's masked-max selection
         iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
-        is_med = (last_chunk == ci) & (iota == local_idx)
+        local_idx = jnp.max(jnp.where(bm, iota, -1), axis=1,
+                            keepdims=True)
+        is_med = (last_chunk == ci) & (iota == local_idx) & (local_idx >= 0)
         dt_all = gd * v["aT"] + gmd * jnp.where(is_med, 1.0, 0.0)
         dpower = dalpha * v["gate"] * v["alpha_raw"]  # d exp = exp
 
         dA = (jnp.einsum("bcp,bkp->bck", v["aT"], gO,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=_PREC)
               + jnp.einsum("bcp,bkp->bck", dpower, bp,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=_PREC)
               + jnp.einsum("bcp,bkp->bck", dt_all, bt,
-                           preferred_element_type=jnp.float32))
+                           preferred_element_type=jnp.float32,
+                           precision=_PREC))
         da_out[:, pl.ds(ci * chunk, chunk), :] = dA
         return v["T_out"], pre_ab + jnp.sum(ab, axis=1, keepdims=True)
 
@@ -299,23 +323,36 @@ def _pack_entries(pre, colors, entry_gauss, entry_mask,
     return A
 
 
-def _pick_tb_chunk(n_tiles, chunk, K):
+def _pick_tb_chunk(n_tiles, chunk):
     """Largest tile batch of (8, 4, 2, 1) dividing n_tiles; shrink the
-    chunk so the (TB x chunk x PX) working set stays within VMEM."""
+    chunk so the (TB x chunk x PX) working set stays within VMEM. The
+    entry axis K is padded up to a chunk multiple by the caller (see
+    _pad_entries), so chunk needs no K-divisibility adjustment."""
     for tb in (8, 4, 2, 1):
         if n_tiles % tb == 0:
             break
     while tb * chunk > 256 and chunk > 32:
         chunk //= 2
-    while K % chunk:
-        chunk //= 2
     return tb, max(chunk, 8)
 
 
+def _pad_entries(A, chunk):
+    """Pad the entry axis of (n_tiles, K, 16) A to a multiple of `chunk`
+    with dead entries (q0 = -1e30 -> alpha 0). Differentiable: the
+    concatenate's cotangent slices the pad rows off dA automatically."""
+    K = A.shape[1]
+    K_pad = -(-K // chunk) * chunk
+    if K_pad == K:
+        return A
+    pad = jnp.zeros((A.shape[0], K_pad - K, NCH), A.dtype)
+    pad = pad.at[..., 0].set(-1e30)
+    return jnp.concatenate([A, pad], axis=1)
+
+
 def _blend_call(meta, counts, A, bp, bt):
-    chunk0, K, interpret = meta
-    n_tiles = A.shape[0]
-    tb, chunk = _pick_tb_chunk(n_tiles, chunk0, K)
+    chunk0, interpret = meta
+    n_tiles, K = A.shape[0], A.shape[1]
+    tb, chunk = _pick_tb_chunk(n_tiles, chunk0)
 
     def espec(c):
         return pl.BlockSpec((tb, K, c), lambda i, *_: (i, 0, 0),
@@ -359,11 +396,11 @@ def _blend_entries_fwd(meta, counts, A, bp, bt):
 
 
 def _blend_entries_bwd(meta, res, cots):
-    chunk0, K, interpret = meta
+    chunk0, interpret = meta
     counts, A, bp, bt = res
     gO, gd, gmd, gT = cots
-    n_tiles = A.shape[0]
-    tb, chunk = _pick_tb_chunk(n_tiles, chunk0, K)
+    n_tiles, K = A.shape[0], A.shape[1]
+    tb, chunk = _pick_tb_chunk(n_tiles, chunk0)
 
     def espec(c):
         return pl.BlockSpec((tb, K, c), lambda i, *_: (i, 0, 0),
@@ -412,9 +449,11 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
     _, K = entry_gauss.shape
 
     A = _pack_entries(pre, colors, entry_gauss, entry_mask, cfg)
+    _, chunk = _pick_tb_chunk(cfg.n_tiles, cfg.chunk)
+    A = _pad_entries(A, chunk)
     bp, bt = _basis_planes(cfg)
     counts = jnp.sum(entry_mask.astype(jnp.int32), axis=1)  # (n_tiles,)
-    O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, K, interpret),
+    O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, interpret),
                                          counts, A, bp, bt)
     Opx = O.swapaxes(1, 2)                       # (n_tiles, PX, 16)
     csum = Opx[..., 9:12]

@@ -227,9 +227,9 @@ class TrackBackend:
         kf = self.kf
         idxs = list(range(t0, t0 + SUBMAP_SIZE)) + [current_idx]
         # decode from the stored encoder tokens (every KF carries its
-        # featI from the motion filter; no encoder re-pass)
-        feat = kf.featI[jnp.asarray(idxs)]
-        pts_self, conf_self, c2w = self.fe._infer(self.fe.params, feat)
+        # featI from the motion filter; no encoder re-pass). In GT-
+        # injection test mode this dispatches to the GT stand-in too.
+        pts_self, conf_self, c2w = self.fe.infer_views(idxs)
         anchor_c2w = jnp.asarray(pose_vec_to_matrix(jnp.asarray(kf.pose[t0])))
         prev_depth0 = jnp.asarray(kf.depth[t0])
         poses, depths, pts_world, pts_ds, conf, conf_ds = submap_postprocess(

@@ -136,6 +136,54 @@ class TrackFrontend:
                     out["conf_self"][:, 0], c2w)
 
         self._infer = _infer
+        self.gt_inject = None  # GT-injection test mode (set_gt_injection)
+
+    # ------------------------------------------------------------------
+    def set_gt_injection(self, provider, sigma_t: float = 0.05,
+                         sigma_r: float = 0.01, seed: int = 0):
+        """GT-injection test mode (reference TrackFrontend.test,
+        track_frontend.py:333-405): ``provider(tstamp) -> (depth (H,W),
+        c2w (4,4))``. Network inference is replaced by pointmaps
+        synthesized from GT depth and submap-relative GT poses perturbed
+        by ``perturb_pose`` noise (sigma_trans=0.05, sigma_rot=0.01,
+        :408-421); the submap anchor view stays unperturbed."""
+        self.gt_inject = provider
+        self._gt_rng = np.random.default_rng(seed)
+        self._gt_sig = (float(sigma_t), float(sigma_r))
+
+    def _gt_infer(self, idxs):
+        from ..geometry.pointmap import depth_to_pointmap
+        from ..geometry.lie import se3_exp, se3_matrix
+        kf = self.keyframes
+        d0, c2w0 = self.gt_inject(int(kf.tstamp[idxs[0]]))
+        inv0 = np.linalg.inv(np.asarray(c2w0, np.float64))
+        pts, confs, rels = [], [], []
+        st, sr = self._gt_sig
+        for k, i in enumerate(idxs):
+            depth, c2w = self.gt_inject(int(kf.tstamp[i]))
+            K4 = kf.intrinsic[i]
+            pts.append(depth_to_pointmap(jnp.asarray(depth, jnp.float32),
+                                         jnp.asarray(K4, jnp.float32)))
+            rel = inv0 @ np.asarray(c2w, np.float64)
+            if k > 0 and (st > 0 or sr > 0):
+                xi = np.concatenate([
+                    self._gt_rng.normal(0, st, 3),
+                    self._gt_rng.normal(0, sr, 3)]).astype(np.float32)
+                rel = np.asarray(se3_matrix(se3_exp(jnp.asarray(xi)))) @ rel
+            rels.append(rel.astype(np.float32))
+        H, W = kf.img_hw
+        conf = jnp.full((len(idxs), H, W), 9.0, jnp.float32)  # 1-1/c=.89
+        return (jnp.stack(pts), conf,
+                jnp.asarray(np.stack(rels), jnp.float32))
+
+    def infer_views(self, idxs):
+        """(pts_self, conf_self, submap-relative c2w) for KF indices
+        ``idxs`` (length V). Dispatches to the jitted decode or the
+        GT-injection stand-in."""
+        if self.gt_inject is not None:
+            return self._gt_infer(idxs)
+        feat = self.keyframes.featI[jnp.asarray(np.asarray(idxs))]
+        return self._infer(self.params, feat)
 
     # ------------------------------------------------------------------
     def track(self, t0: int, t1: int, init: bool = False):
@@ -143,12 +191,10 @@ class TrackFrontend:
         kf = self.keyframes
         n = t1 - t0
         assert 1 < n <= self.V
-        feat = kf.featI[t0:t1]
-        if n < self.V:  # pad with the last KF's tokens; outputs ignored
-            feat = jnp.concatenate(
-                [feat, jnp.repeat(feat[-1:], self.V - n, 0)])
+        # pad with the last KF repeated; its outputs are ignored
+        idxs = list(range(t0, t1)) + [t1 - 1] * (self.V - n)
 
-        pts_self, conf_self, c2w = self._infer(self.params, feat)
+        pts_self, conf_self, c2w = self.infer_views(idxs)
 
         anchor_c2w = jnp.asarray(pose_vec_to_matrix(jnp.asarray(kf.pose[t0])))
         prev_depth0 = jnp.asarray(kf.depth[t0])

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..geometry.lie import (sim3_exp, sim3_log, sim3_mul, sim3_inv,
                             se3_mul, se3_inv)
 
-__all__ = ["Sim3PGO", "sim3_pgo_solve", "PGBABuffer"]
+__all__ = ["Sim3PGO", "sim3_pgo_solve", "sim3_pgo_solve_dense",
+           "PGBABuffer"]
 
 
 def _residual(g_all, ii, jj, rel_meas):
@@ -32,19 +33,80 @@ def _residual(g_all, ii, jj, rel_meas):
     return sim3_log(sim3_mul(sim3_inv(rel_meas), pred))
 
 
+def _edge_jacobians(g_all, ii, jj, rel_meas):
+    """Per-edge residual + (7, 14) Jacobian wrt the edge's two local
+    sim(3) perturbations — vmapped over edges, cost linear in E."""
+    def r_local(xi2, gi, gj, meas):
+        gi2 = sim3_mul(sim3_exp(xi2[:7]), gi)
+        gj2 = sim3_mul(sim3_exp(xi2[7:]), gj)
+        pred = sim3_mul(sim3_inv(gi2), gj2)
+        return sim3_log(sim3_mul(sim3_inv(meas), pred))
+
+    z14 = jnp.zeros(14)
+
+    def one(gi, gj, meas):
+        r = r_local(z14, gi, gj, meas)
+        J = jax.jacfwd(r_local)(z14, gi, gj, meas)
+        return r, J
+
+    return jax.vmap(one)(g_all[ii], g_all[jj], rel_meas)
+
+
 @partial(jax.jit, static_argnames=("iters", "fixed"))
 def sim3_pgo_solve(poses_sim3: jax.Array, ii: jax.Array, jj: jax.Array,
                    rel_meas: jax.Array, weights: jax.Array,
                    iters: int = 10, fixed: int = 1,
                    damping: float = 1e-4) -> jax.Array:
-    """Gauss-Newton Sim(3) PGO.
+    """Gauss-Newton Sim(3) PGO with block-sparse normal equations.
 
     poses_sim3: (N, 8) absolute Sim3 [t, q xyzw, s]; ii/jj: (E,) edges;
     rel_meas: (E, 8) measured relative Sim3 (frame i -> j);
     weights: (E,) per-edge confidence. First ``fixed`` poses pinned.
 
+    The Hessian is assembled by scatter-adding per-edge 7x7 blocks
+    (cost linear in E, like ops/ba.py), not by a dense jacfwd over all
+    N*7 variables; only the final solve touches the (N*7)^2 system.
+    Matches ``sim3_pgo_solve_dense`` to float tolerance
+    (tests/test_sim3_pgo.py).
+
     Returns refined (N, 8).
     """
+    N = poses_sim3.shape[0]
+    D = 7
+
+    def gn_step(g_all, _):
+        r, J = _edge_jacobians(g_all, ii, jj, rel_meas)   # (E,7), (E,7,14)
+        # fixed poses: their perturbation columns are identically zero
+        Ji = J[..., :D] * (ii >= fixed)[:, None, None]
+        Jj = J[..., D:] * (jj >= fixed)[:, None, None]
+        w = weights[:, None, None]
+        Hb = jnp.zeros((N, N, D, D))
+        Hb = Hb.at[ii, ii].add(w * jnp.einsum("eri,erj->eij", Ji, Ji))
+        Hb = Hb.at[ii, jj].add(w * jnp.einsum("eri,erj->eij", Ji, Jj))
+        Hb = Hb.at[jj, ii].add(w * jnp.einsum("eri,erj->eij", Jj, Ji))
+        Hb = Hb.at[jj, jj].add(w * jnp.einsum("eri,erj->eij", Jj, Jj))
+        b = jnp.zeros((N, D))
+        wr = weights[:, None] * r
+        b = b.at[ii].add(-jnp.einsum("erd,er->ed", Ji, wr))
+        b = b.at[jj].add(-jnp.einsum("erd,er->ed", Jj, wr))
+        H = Hb.transpose(0, 2, 1, 3).reshape(N * D, N * D) \
+            + damping * jnp.eye(N * D)
+        dx = jnp.linalg.solve(H, b.reshape(-1)).reshape(N, D)
+        dx = dx.at[:fixed].set(0.0)
+        return sim3_mul(sim3_exp(dx), g_all), jnp.sum(weights * (r * r).sum(-1))
+
+    g, costs = jax.lax.scan(gn_step, poses_sim3, None, length=iters)
+    return g
+
+
+@partial(jax.jit, static_argnames=("iters", "fixed"))
+def sim3_pgo_solve_dense(poses_sim3: jax.Array, ii: jax.Array,
+                         jj: jax.Array, rel_meas: jax.Array,
+                         weights: jax.Array, iters: int = 10,
+                         fixed: int = 1,
+                         damping: float = 1e-4) -> jax.Array:
+    """Reference dense-jacfwd formulation (kept as the parity oracle for
+    the block-sparse assembly above; O(N^2) memory — small N only)."""
     N = poses_sim3.shape[0]
     D = 7
 
@@ -139,30 +201,51 @@ class PGBABuffer:
     ``sim3_pgo_solve`` recompiles only across buckets.
 
     The reference weights constraints by BA-residual covariance
-    (pgo_buffer.py:98-115); here odometry edges get weight 1 and loop
-    edges ``loop_weight`` — the covariance refinement is subsumed by the
-    frontend's conf-weighted scale alignment upstream.
+    (pgo_buffer.py:98-115). Here the default is odometry weight 1 /
+    loop weight ``loop_weight``; with ``conf_weighting=True`` each edge
+    is additionally scaled by the mean CUT3R confidence of its two
+    keyframes' stored submap conf maps (conf = 1 - 1/c in [0,1)) — the
+    closest per-edge uncertainty statistic the frontend already
+    computes. tests/test_sim3_pgo.py ablates this on a synthetic loop.
     """
 
-    def __init__(self, loop_weight: float = 2.0, iters: int = 6):
+    def __init__(self, loop_weight: float = 2.0, iters: int = 6,
+                 conf_weighting: bool = False):
         self.pgo = Sim3PGO()
         self.loop_weight = loop_weight
         self.iters = iters
+        self.conf_weighting = conf_weighting
         self._odo_upto = 0  # sequential edges exist for [0, _odo_upto)
+
+    def _kf_conf(self, kf, i: int) -> float:
+        from .keyframe import SUBMAP_SIZE
+        return float(jnp.mean(
+            kf.submap_conf[i // SUBMAP_SIZE, i % SUBMAP_SIZE]))
+
+    def _edge_weight(self, kf, i: int, j: int, base: float) -> float:
+        if not self.conf_weighting:
+            return base
+        c = 0.5 * (self._kf_conf(kf, i) + self._kf_conf(kf, j))
+        # conf in [0,1): map to a [0.25, 1.75) multiplier so confident
+        # pairs dominate without zeroing low-conf odometry entirely
+        return base * (0.25 + 1.5 * max(min(c, 1.0), 0.0))
 
     def on_new_keyframes(self, kf, upto: int):
         """Add odometry edges i->i+1 for newly tracked keyframes."""
         for i in range(max(self._odo_upto - 1, 0), upto - 1):
             rel = np.asarray(se3_mul(se3_inv(jnp.asarray(kf.pose[i])),
                                      jnp.asarray(kf.pose[i + 1])))
-            self.pgo.add_relative_se3(i, i + 1, rel, 1.0)
+            self.pgo.add_relative_se3(
+                i, i + 1, rel, self._edge_weight(kf, i, i + 1, 1.0))
         self._odo_upto = max(self._odo_upto, upto)
 
     def on_loop(self, matched: int, current: int, kf):
         """Add a loop-closure edge from the (LC-corrected) poses."""
         rel = np.asarray(se3_mul(se3_inv(jnp.asarray(kf.pose[matched])),
                                  jnp.asarray(kf.pose[current])))
-        self.pgo.add_relative_se3(matched, current, rel, self.loop_weight)
+        self.pgo.add_relative_se3(
+            matched, current, rel,
+            self._edge_weight(kf, matched, current, self.loop_weight))
 
     def solve_and_writeback(self, kf) -> np.ndarray:
         """Refine kf.pose[:count] in place; depths scale by each pose's

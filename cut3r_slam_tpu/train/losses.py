@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from ..geometry.quaternion import wxyz_to_xyzw
 from ..geometry.pointmap import geotrf
 
-__all__ = ["regr3d_pose_loss", "conf_loss", "rgb_loss", "cut3r_total_loss"]
+__all__ = ["regr3d_pose_loss", "conf_loss", "rgb_loss", "cut3r_total_loss",
+           "depth_scale_shift_inv_loss", "scale_inv_loss",
+           "regr3d_pose_batchlist_loss", "cut3r_batchlist_total_loss"]
 
 
 def _avg_dis_norm(pts: jax.Array, valid: jax.Array, eps: float = 1e-8):
@@ -101,6 +103,126 @@ def conf_loss(l: jax.Array, conf: jax.Array, valid: jax.Array,
 def rgb_loss(pred_rgb: jax.Array, gt_img: jax.Array, valid: jax.Array) -> jax.Array:
     m = valid.astype(pred_rgb.dtype)[..., None]
     return jnp.sum(jnp.abs(pred_rgb - gt_img) * m) / jnp.maximum(jnp.sum(m) * 3, 1.0)
+
+
+def depth_scale_shift_inv_loss(pred_z: jax.Array, gt_z: jax.Array,
+                               mask: jax.Array) -> jax.Array:
+    """Scale- AND shift-invariant depth L1
+    (losses.py:221-254 DepthScaleShiftInvLoss).
+
+    pred_z/gt_z: (..., H, W) depth maps; mask: (..., H, W) bool. Each
+    leading-index map is normalized independently: shift = masked mean,
+    scale = masked mean |x - shift| (clamped 1e-6), then
+    |pred_n - gt_n| on masked pixels. Returns the per-pixel masked
+    distance map (zeros off-mask) — reduce with `masked_mean`.
+    """
+    m = mask.astype(pred_z.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=(-2, -1), keepdims=True), 1.0)
+
+    def _norm(x):
+        shift = jnp.sum(x * m, axis=(-2, -1), keepdims=True) / cnt
+        cen = x - shift
+        scale = jnp.sum(jnp.abs(cen) * m, axis=(-2, -1),
+                        keepdims=True) / cnt
+        return cen / jnp.maximum(scale, 1e-6)
+
+    return jnp.abs(_norm(pred_z) - _norm(gt_z)) * m
+
+
+def scale_inv_loss(pred_pts: jax.Array, gt_pts: jax.Array,
+                   mask: jax.Array) -> jax.Array:
+    """Scale-invariant pointmap loss (losses.py:257-285 ScaleInvLoss).
+
+    pred_pts/gt_pts: (..., H, W, 3); mask: (..., H, W) bool. Each
+    leading-index map is normalized by its masked mean point norm
+    (clamped 1e-6); distance = ||pred_n - gt_n||_2 on masked pixels.
+    Returns the per-pixel masked distance map.
+    """
+    m = mask.astype(pred_pts.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=(-2, -1), keepdims=True), 1e-6)
+
+    def _norm(x):
+        n = jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-20)
+        f = jnp.sum(n * m, axis=(-2, -1), keepdims=True) / cnt
+        return x / jnp.maximum(f, 1e-6)[..., None]
+
+    d = _norm(pred_pts) - _norm(gt_pts)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20) * m
+
+
+def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def regr3d_pose_batchlist_loss(pred: Dict[str, jax.Array],
+                               gt: Dict[str, jax.Array],
+                               ) -> Tuple[jax.Array, jax.Array, Dict]:
+    """Regr3DPoseBatchList (losses.py:863-1044): per-batch-element
+    criterion selection on top of the anchor-view regression.
+
+    Extra gt flags, each (B,) bool:
+      depth_only   — dataset has only relative depth: scale/shift-inv L1
+                     on the z channel;
+      single_view  — single-view non-metric dataset: scale-inv pointmap
+                     loss;
+      is_metric    — metric dataset (suppresses the single_view branch);
+      camera_only  — pose-only supervision: cross-view pixel losses
+                     dropped.
+    Elements with no flag set use the standard normalized-pointmap
+    criterion from regr3d_pose_loss. Static shapes: all three variants
+    are evaluated and selected with jnp.where per element.
+    """
+    l_self_std, l_cross_std, aux = regr3d_pose_loss(pred, gt)
+    valid = gt["valid_mask"]                     # (V, B, H, W)
+    B = valid.shape[1]
+    zeros = jnp.zeros((B,), bool)
+    depth_only = gt.get("depth_only", zeros)
+    single_view = gt.get("single_view", zeros)
+    is_metric = gt.get("is_metric", zeros)
+    camera_only = gt.get("camera_only", zeros)
+
+    c2w = gt["camera_pose"]
+    w2c = jnp.linalg.inv(c2w)
+    in_cam0 = jnp.linalg.inv(c2w[0])
+    gt_self = geotrf(w2c[:, :, None, None], gt["pts3d"])
+    gt_cross = geotrf(in_cam0[None, :, None, None], gt["pts3d"])
+    pr_self = pred["pts3d_in_self_view"]
+    pr_cross = pred["pts3d_in_other_view"]
+
+    sel_do = depth_only[None, :, None, None]
+    sel_sv = (single_view & ~is_metric)[None, :, None, None]
+
+    def _mix(l_std, pr, gtp):
+        l_do = depth_scale_shift_inv_loss(pr[..., 2], gtp[..., 2], valid)
+        l_sv = scale_inv_loss(pr, gtp, valid)
+        return jnp.where(sel_do, l_do, jnp.where(sel_sv, l_sv, l_std))
+
+    l_self = _mix(l_self_std, pr_self, gt_self)
+    l_cross = _mix(l_cross_std, pr_cross, gt_cross)
+    cross_keep = (~camera_only)[None, :, None, None]
+    valid_cross = valid & cross_keep
+    return l_self, l_cross, {**aux, "valid_cross": valid_cross}
+
+
+def cut3r_batchlist_total_loss(pred: Dict[str, jax.Array],
+                               gt: Dict[str, jax.Array],
+                               alpha: float = 0.2,
+                               pose_weight: float = 1.0,
+                               rgb_weight: float = 1.0
+                               ) -> Tuple[jax.Array, Dict]:
+    """ConfLoss over the BatchList criterion mix (losses.py:1047 applied
+    to Regr3DPoseBatchList), plus pose and optional RGB terms."""
+    l_self, l_cross, aux = regr3d_pose_batchlist_loss(pred, gt)
+    valid = gt["valid_mask"]
+    valid_cross = aux.pop("valid_cross")
+    loss = (conf_loss(l_self, pred["conf_self"], valid, alpha)
+            + conf_loss(l_cross, pred["conf"], valid_cross, alpha)
+            + pose_weight * (aux["loss_trans"] + aux["loss_quat"]))
+    if "rgb" in pred and "img" in gt:
+        loss = loss + rgb_weight * rgb_loss(pred["rgb"], gt["img"], valid)
+    aux["total"] = loss
+    return loss, aux
 
 
 def cut3r_total_loss(pred: Dict[str, jax.Array], gt: Dict[str, jax.Array],

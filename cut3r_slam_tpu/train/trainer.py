@@ -109,8 +109,23 @@ def train(model: CUT3R, data_iter: Iterator[Dict[str, np.ndarray]],
         params = fsdp_shard_params(mesh, jax.tree.map(jnp.asarray,
                                                       init_params),
                                    axis="fsdp")
-        opt_state = (jax.tree.map(jnp.asarray, resumed_opt)
-                     if resumed is not None else tx.init(params))
+        opt_state = tx.init(params)
+        if resumed is not None:
+            # restore leaf VALUES but keep the freshly-init'd state's
+            # shardings, so with fsdp>1 the resumed optimizer state comes
+            # back sharded like params (not fully replicated). Leaves
+            # whose fresh sharding is single-device (opt counters) stay
+            # UNCOMMITTED — committing them would conflict with the
+            # multi-device params placement inside the jitted step.
+            def _restore(ref, x):
+                x = jnp.asarray(x)
+                sh = getattr(ref, "sharding", None)
+                if sh is not None and getattr(sh, "num_devices", 1) > 1:
+                    return jax.device_put(x, sh)
+                return x
+
+            opt_state = jax.tree.map(_restore, opt_state,
+                                     jax.tree.map(jnp.asarray, resumed_opt))
         if tcfg.tbptt_chunk > 0:
             step_fn = jax.jit(make_tbptt_train_step(
                 model, tx, chunk=tcfg.tbptt_chunk,

@@ -17,7 +17,7 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 __all__ = ["mono_stream", "list_images", "resize_with_intrinsics",
-           "prefetch_stream"]
+           "prefetch_stream", "CompressedFrameStore"]
 
 _EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
 
@@ -120,3 +120,49 @@ def prefetch_stream(it: Iterator, depth: int = 8) -> Iterator:
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+class CompressedFrameStore:
+    """Dict-like host store of full frames as JPEG bytes.
+
+    The reference keeps every raw frame in a dict (hi2.py:103
+    ``self.images[t] = image``), which grows ~1.2 GB over a 2000-frame
+    512x384 run. Storing JPEG (quality 92 ~ 20-40x smaller) bounds host
+    memory while staying visually lossless for the terminate-time
+    consumers (add_kf densification, trajectory filler, render eval).
+    Drop-in for the dict operations SLAMSystem uses: [] get/set, `in`,
+    iteration (over timestamps), len, bool.
+    """
+
+    def __init__(self, quality: int = 92):
+        self._enc = {}
+        self._shape = {}
+        self.quality = int(quality)
+
+    def __setitem__(self, t, img: np.ndarray):
+        import cv2
+        img = np.ascontiguousarray(img)
+        ok, buf = cv2.imencode(
+            ".jpg", img[..., ::-1],
+            [int(cv2.IMWRITE_JPEG_QUALITY), self.quality])
+        if not ok:  # pragma: no cover - cv2 encode failure
+            raise RuntimeError("JPEG encode failed")
+        self._enc[int(t)] = np.frombuffer(buf.tobytes(), np.uint8)
+        self._shape[int(t)] = img.shape
+
+    def __getitem__(self, t) -> np.ndarray:
+        import cv2
+        img = cv2.imdecode(self._enc[int(t)], cv2.IMREAD_COLOR)
+        return np.ascontiguousarray(img[..., ::-1])
+
+    def __contains__(self, t):
+        return int(t) in self._enc
+
+    def __iter__(self):
+        return iter(self._enc)
+
+    def __len__(self):
+        return len(self._enc)
+
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self._enc.values())

@@ -14,14 +14,16 @@ def test_spann3r_step_and_memory():
     V, B, H, W = 3, 1, 32, 32
     imgs = jnp.asarray(RNG.uniform(-1, 1, (V, B, H, W, 3)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), imgs)
-    outs, mem = jax.jit(model.apply)(params, imgs)
-    assert outs["pts3d"].shape == (V, B, H, W, 3)
-    assert np.all(np.asarray(outs["conf"]) > 1.0)
+    preds, mem = jax.jit(model.apply)(params, imgs)
+    assert len(preds) == V
+    for p in preds:
+        assert p["pts3d"].shape == (B, H, W, 3)
+        assert np.all(np.asarray(p["conf"]) > 1.0)
+        assert np.all(np.isfinite(np.asarray(p["pts3d"])))
     # memory populated: working ring holds the last frames
     assert bool(mem.work_valid.any())
     # third frame displaced the first into long memory (ring size 2)
     assert bool(mem.long_valid.any())
-    assert np.all(np.isfinite(np.asarray(outs["pts3d"])))
 
 
 def test_priornet_shapes():

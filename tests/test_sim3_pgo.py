@@ -117,3 +117,34 @@ class TestPGBABuffer:
             {"Tracking": {"pgba": {"active": True}}},
             buffer=16, img_hw=(32, 48))
         assert on.pgba is not None
+
+
+def test_block_sparse_matches_dense():
+    """VERDICT r2 #6: the scatter-add block assembly in sim3_pgo_solve
+    must match the dense-jacfwd oracle to float tolerance."""
+    from cut3r_slam_tpu.slam.sim3_pgo import sim3_pgo_solve_dense
+    gt = _make_traj(6)
+    n = len(gt)
+    g0 = np.concatenate([gt + RNG.normal(size=gt.shape).astype(
+        np.float32) * 0.05, np.ones((n, 1), np.float32)], axis=1)
+    g0[0, :7] = gt[0]
+    ii, jj, rel, w = [], [], [], []
+    for i in range(n - 1):
+        r = np.asarray(lie.se3_mul(lie.se3_inv(jnp.asarray(gt[i])),
+                                   jnp.asarray(gt[i + 1])))
+        ii.append(i); jj.append(i + 1)
+        rel.append(np.concatenate([r, np.ones(1, np.float32)]))
+        w.append(1.0)
+    # one loop edge + one repeated edge (duplicate scatter indices)
+    r = np.asarray(lie.se3_mul(lie.se3_inv(jnp.asarray(gt[0])),
+                               jnp.asarray(gt[n - 1])))
+    for _ in range(2):
+        ii.append(0); jj.append(n - 1)
+        rel.append(np.concatenate([r, np.ones(1, np.float32)]))
+        w.append(2.5)
+    args = (jnp.asarray(g0), jnp.asarray(ii, jnp.int32),
+            jnp.asarray(jj, jnp.int32), jnp.asarray(np.stack(rel)),
+            jnp.asarray(w, jnp.float32))
+    g_sparse = np.asarray(sim3_pgo_solve(*args, iters=5, fixed=1))
+    g_dense = np.asarray(sim3_pgo_solve_dense(*args, iters=5, fixed=1))
+    np.testing.assert_allclose(g_sparse, g_dense, atol=5e-4)
