@@ -62,6 +62,22 @@ def note(msg):
           file=sys.stderr, flush=True)
 
 
+def probe_backend(deadline_s=150.0):
+    """Return True iff the default jax backend enumerates devices within
+    ``deadline_s`` — probed in a CHILD process so a hung axon tunnel
+    (jax.devices() blocking forever) can't take the bench down with it.
+    On failure the caller flips this process to CPU before backend init."""
+    import subprocess
+    try:
+        p = subprocess.run(
+            ["python", "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=deadline_s, capture_output=True, text=True)
+        return "ok" in p.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def synth_frames(n, H, W, seed=0):
     """Sliding-window panorama: textured, overlapping, translating."""
     rng = np.random.default_rng(seed)
@@ -136,6 +152,11 @@ def main():
     from cut3r_slam_tpu.slam.system import SLAMSystem
     from cut3r_slam_tpu.utils.profiling import StageTimer
 
+    # device probe with a deadline: a down axon tunnel hangs jax.devices()
+    # forever; fall back to the CPU smoke bench rather than emit nothing.
+    if os.environ.get("BENCH_FORCE_CPU") or not probe_backend():
+        note("backend probe failed or BENCH_FORCE_CPU set -> CPU mode")
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         mcfg = CUT3RConfig()              # full cut3r_512_dpt_4_64 arch
@@ -143,14 +164,19 @@ def main():
         n_frames, warm_frames = 40, 14
         arena_capacity = 2 ** 17
     else:                                 # CPU smoke mode
+        # shapes chosen to MATCH tests/test_e2e_gt_loop.py exactly so the
+        # programs are already in .jax_cache after a test-suite run —
+        # cold-compiling bespoke smoke shapes took >40 min on this 1-core
+        # box, which is how the round-2 bench died with zero output.
         mcfg = CUT3RConfig.tiny()
-        H, W = 64, 96
+        H, W = 32, 48
         n_frames, warm_frames = 18, 10
-        arena_capacity = 2 ** 12
+        arena_capacity = 2 ** 11
 
     metric = ("slam_e2e_fps_512x384" if on_tpu else "slam_e2e_fps_tiny_cpu")
     result = {"metric": metric, "value": None, "unit": "frames/s",
               "vs_baseline": None, "frames": 0, "breakdown": {}}
+    emit(result)  # heartbeat: even a kill during compiles leaves a line
 
     note(f"init model ({metric})")
     model = CUT3R(mcfg)
@@ -160,7 +186,7 @@ def main():
 
     cfg = {"Tracking": {"motion_filter": {"kf_every": 2}},
            "Mapping": {"arena_capacity": arena_capacity,
-                       "iterations": 100}}
+                       "iterations": 100 if on_tpu else 20}}
     slam = SLAMSystem(model, params, cfg, buffer=64, img_hw=(H, W),
                       enable_mapping=True, enable_loop=True,
                       output_dir="/tmp/bench_out")
@@ -195,11 +221,19 @@ def main():
             else:
                 window = frame_t[-10:]
                 steady = False
-            fps = 1.0 / float(np.median(window))
+            # value = TRUE throughput over the window (mapping frames
+            # included), like the reference's total-time FPS; a lone
+            # straggler (one stray recompile) is trimmed but reported.
+            w = sorted(window)
+            trimmed = w[:-1] if len(w) >= 6 else w
+            fps = len(trimmed) / float(sum(trimmed))
             result["value"] = round(fps, 3)
             result["vs_baseline"] = round(fps / BASELINE_FPS, 3)
             result["frames"] = len(window)
             result["steady_state"] = steady
+            result["breakdown"]["fps_median"] = round(
+                1.0 / float(np.median(window)), 3)
+            result["breakdown"]["trimmed_max_s"] = round(float(w[-1]), 3)
             emit(result)
         if t == warm_frames - 1:
             timer.totals.clear()

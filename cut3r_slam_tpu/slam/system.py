@@ -102,6 +102,18 @@ class SLAMSystem:
         self.images = CompressedFrameStore()
         # optional per-stage profiler (utils/profiling.StageTimer)
         self.timer = None
+        self.img_hw = img_hw
+        self.last_t = -1
+
+        # optional live browser viewer (replaces the reference's Open3D
+        # GUI process, slam_gui.py; config: GUI: {active: true, port: N})
+        self.viewer = None
+        gui_cfg = cfg.get("GUI", {})
+        if bool(gui_cfg.get("active", False)):
+            from ..gui import ViewerServer
+            self.viewer = ViewerServer(
+                self, port=int(gui_cfg.get("port", 8080)),
+                max_splats=int(gui_cfg.get("max_splats", 400_000)))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -112,6 +124,31 @@ class SLAMSystem:
         train/) or random init when absent (architecture smoke path)."""
         import jax as _jax
         from ..models.priors import PriorNet, normalize_imagenet
+        H, W = img_hw
+        omni_d = mf_cfg.get("omnidata_ckpt_depth")
+        omni_n = mf_cfg.get("omnidata_ckpt_normal")
+        if omni_d or omni_n:
+            # real Omnidata weights: the converter ingests the public
+            # omnidata_dpt_{depth,normal}_v2.ckpt files the reference
+            # loads at motion_filter.py:59-60
+            from ..models.omnidata import load_omnidata_ckpt
+            Hn, Wn = max(32, round(H / 32) * 32), max(32, round(W / 32) * 32)
+
+            def _make(path, task):
+                model, params = load_omnidata_ckpt(path, task)
+                fn = _jax.jit(lambda img: _jax.image.resize(
+                    model.apply(params, _jax.image.resize(
+                        img[None].astype(jnp.float32) / 255.0,
+                        (1, Hn, Wn, 3), "bilinear")),
+                    (1, H, W) if task == "depth" else (1, H, W, 3),
+                    "bilinear")[0])
+                return lambda img: fn(jnp.asarray(img))
+
+            d_fn = _make(omni_d, "depth") if omni_d else None
+            n_fn = _make(omni_n, "normal") if omni_n else None
+            zero_d = lambda img: jnp.zeros((H, W))
+            zero_n = lambda img: jnp.zeros((H, W, 3))
+            return (d_fn or zero_d, n_fn or zero_n)
         dim = int(mf_cfg.get("prior_dim", 384))
         depth_n = PriorNet(task="depth", embed_dim=dim,
                            depth=int(mf_cfg.get("prior_depth_blocks", 12)),
@@ -119,7 +156,6 @@ class SLAMSystem:
         normal_n = PriorNet(task="normal", embed_dim=dim,
                             depth=int(mf_cfg.get("prior_depth_blocks", 12)),
                             num_heads=max(dim // 64, 1))
-        H, W = img_hw
         dummy = jnp.zeros((1, H, W, 3))
         ckpt = mf_cfg.get("prior_ckpt")
         if ckpt:
@@ -154,6 +190,7 @@ class SLAMSystem:
             K4_map: Optional[np.ndarray] = None,
             second_last: bool = False, last: bool = False):
         """Per-frame step (hi2.py:101-135)."""
+        self.last_t = t
         if self.keep_all_frames:
             # full-frame host store for terminate-time densification and
             # trajectory filling (hi2.py:103 self.images dict)

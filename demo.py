@@ -41,6 +41,9 @@ def main():
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--finalize_iters", type=int, default=None,
                    help="override opt_params.position_lr_max_steps")
+    p.add_argument("--gui", action="store_true",
+                   help="serve the live browser viewer (GUI.active)")
+    p.add_argument("--gui_port", type=int, default=8080)
     args = p.parse_args()
 
     import jax
@@ -89,6 +92,8 @@ def main():
         params = load_cut3r_params(args.ckpt)
 
     cfg.setdefault("Mapping", {})["arena_capacity"] = args.arena_capacity
+    if args.gui:
+        cfg["GUI"] = {"active": True, "port": args.gui_port}
     if args.finalize_iters is not None:
         cfg.setdefault("opt_params", {})["position_lr_max_steps"] = \
             args.finalize_iters
@@ -97,6 +102,8 @@ def main():
                       enable_mapping=not args.no_mapping,
                       enable_loop=not args.no_loop,
                       output_dir=args.output)
+    if slam.viewer is not None:
+        print(f"[demo] live viewer at http://127.0.0.1:{slam.viewer.port}/")
 
     os.makedirs(args.output, exist_ok=True)
     # run-config dump (demo_s.py:21-36 image_shape.txt)

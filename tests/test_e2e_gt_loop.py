@@ -155,6 +155,39 @@ class TestE2EGTLoop:
         assert (tmp_path / "intrinsics.npy").exists()
 
 
+class TestE2EWithMapping:
+    """Same GT-injection loop run with the Gaussian mapping backend ON:
+    the full filter -> frontend -> loop -> PGBA -> mapping -> terminate
+    chain in one process (reference demo_test.py with Mapping active)."""
+
+    @pytest.fixture(scope="class")
+    def mapping_run(self):
+        return _run_system(enable_loop=True, pgba=True, mapping=True)
+
+    def test_mapping_populates_arena(self, mapping_run):
+        slam, _, _ = mapping_run
+        mapper = slam.mapper
+        alive = int(np.asarray(mapper.arena.alive).sum())
+        assert alive > 0, "mapping ran but no Gaussians are alive"
+        xyz = np.asarray(mapper.arena.xyz)[np.asarray(mapper.arena.alive)]
+        assert np.isfinite(xyz).all()
+
+    def test_loop_still_closes_with_mapping(self, mapping_run, drift_run):
+        slam, gt, _ = mapping_run
+        slam_d, gt_d, _ = drift_run
+        assert len(slam.backend.closed_loop["idx_current"]) >= 1
+        assert _ate(slam, gt) < _ate(slam_d, gt_d)
+
+    def test_terminate_finalizes_map(self, mapping_run, tmp_path):
+        slam, _, _ = mapping_run
+        slam.output_dir = str(tmp_path)
+        slam.finalize_iters = 20
+        slam.terminate(N_FRAMES, fill=False, eval_render=False)
+        # the mapper state must be serializable after the full run
+        slam.mapper.save(str(tmp_path / "map.npz"))
+        assert (tmp_path / "map.npz").exists()
+
+
 class TestPGBAConfAblation:
     """VERDICT r2 #10: does conf-weighting the PGBA edges change the
     recovered ATE? Both variants must converge; the ablation records
