@@ -55,6 +55,12 @@ class RasterizeConfig:
     kernel_size: float = 0.1   # low-pass added to cov2D (config.h / settings)
     use_pallas: bool = False   # tile blend via the Pallas kernels (TPU);
     #                            fwd+custom-VJP bwd in ops/gs_raster_pallas
+    fused_bin_key: bool = True  # binning sort on ONE packed uint32 key
+    #                             (tile | quantized depth) instead of a
+    #                             2-key (tile, f32 depth) sort — ~halves
+    #                             the per-render sort cost on TPU. Depth
+    #                             order is exact down to ~1e-4 relative
+    #                             (ties blend in arbitrary order).
 
     @property
     def tiles_x(self):
@@ -281,12 +287,29 @@ def _bin_gaussians(pre, cfg: RasterizeConfig):
     tile_flat = tile_id.reshape(-1)
     depth_flat = jnp.where(entry_ok.reshape(-1), depth.reshape(-1), jnp.inf)
     gidx_flat = gidx.reshape(-1)
-    tile_s, depth_s, gidx_s = jax.lax.sort(
-        (tile_flat, depth_flat, gidx_flat), num_keys=2)
+    if cfg.fused_bin_key:
+        # ONE uint32 key: tile id in the high bits, quantized depth in
+        # the low bits (CUDA packs tile|depth into a 64-bit radix key
+        # the same way, rasterizer_impl.cu duplicateWithKeys). Positive
+        # f32 bit patterns are monotone, so the top depth_bits of the
+        # float encoding preserve order to ~2^-(depth_bits - 9) relative.
+        tile_bits = max(cfg.n_tiles.bit_length(), 1)  # ids 0..n_tiles incl.
+        depth_bits = 32 - tile_bits
+        dbits = jax.lax.bitcast_convert_type(
+            jnp.maximum(depth_flat.astype(jnp.float32), 0.0), jnp.uint32)
+        key = ((tile_flat.astype(jnp.uint32) << depth_bits)
+               | (dbits >> tile_bits))
+        key_s, gidx_s = jax.lax.sort((key, gidx_flat), num_keys=1)
+        boundaries = jnp.searchsorted(
+            key_s, jnp.arange(cfg.n_tiles + 1,
+                              dtype=jnp.uint32) << depth_bits)
+    else:
+        tile_s, depth_s, gidx_s = jax.lax.sort(
+            (tile_flat, depth_flat, gidx_flat), num_keys=2)
 
-    # per-tile ranges via searchsorted on the sorted tile ids
-    boundaries = jnp.searchsorted(tile_s, jnp.arange(cfg.n_tiles + 1,
-                                                     dtype=jnp.int32))
+        # per-tile ranges via searchsorted on the sorted tile ids
+        boundaries = jnp.searchsorted(tile_s, jnp.arange(cfg.n_tiles + 1,
+                                                         dtype=jnp.int32))
     starts = boundaries[:-1]
     counts = boundaries[1:] - starts
 
@@ -294,7 +317,7 @@ def _bin_gaussians(pre, cfg: RasterizeConfig):
     k = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)[None, :]
     take = starts[:, None] + k
     in_range = k < counts[:, None]
-    take = jnp.clip(take, 0, tile_s.shape[0] - 1)
+    take = jnp.clip(take, 0, gidx_s.shape[0] - 1)
     entry_gauss = jnp.where(in_range, gidx_s[take], 0)
     return entry_gauss, in_range
 
@@ -306,8 +329,15 @@ def _bin_gaussians(pre, cfg: RasterizeConfig):
 def _blend_tiles(pre, colors, entry_gauss, entry_mask, bg, cfg: RasterizeConfig):
     """Per-tile chunked front-to-back blending (renderCUDA semantics)."""
     n_tiles, K = entry_gauss.shape
-    C = cfg.chunk
+    C = min(cfg.chunk, K)
     n_chunks = (K + C - 1) // C
+    if n_chunks * C != K:
+        # pad the entry axis to a chunk multiple with masked-off entries
+        # so any (max_per_tile, chunk) combination is valid
+        pad = n_chunks * C - K
+        entry_gauss = jnp.pad(entry_gauss, ((0, 0), (0, pad)))
+        entry_mask = jnp.pad(entry_mask, ((0, 0), (0, pad)))
+        K = n_chunks * C
     px_per_tile = TILE * TILE
 
     # pixel coordinates per tile (n_tiles, 256, 2)

@@ -104,8 +104,14 @@ def _adam_step(params, grads, state, lrs, b1=0.9, b2=0.999, eps=1e-8):
 
 
 class MappingBackend:
-    def __init__(self, cfg: MappingConfig, K4: np.ndarray):
+    def __init__(self, cfg: MappingConfig, K4: np.ndarray, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with an ``mv`` axis — the
+        windowed optimization then renders its views in parallel across
+        the axis (one shard of the window per device, Gaussian grads
+        psum'd over ICI; parallel/mapping.py). None = sequential scan
+        (single chip)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.K4 = jnp.asarray(K4, jnp.float32)
         use_pallas = (cfg.raster_backend == "pallas"
                       or (cfg.raster_backend == "auto"
@@ -121,6 +127,9 @@ class MappingBackend:
         self.initialized = False
         self._rng = jax.random.PRNGKey(0)
         self._build_jits()
+        if mesh is not None and dict(mesh.shape).get("mv", 1) > 1:
+            from ..parallel.mapping import make_parallel_optimize
+            self._optimize = make_parallel_optimize(self, mesh)
 
     # ------------------------------------------------------------------
     def _lrs(self):
@@ -193,8 +202,12 @@ class MappingBackend:
         self._pose_refine = jax.jit(pose_refine)
 
         # ------------------------- mapping window ----------------------
-        def window_loss(params, pose_deltas, exposure, alive, images,
-                        depths_gt, w2c_base, weights, optimize_pose):
+        # window_loss_raw: UNNORMALIZED weighted sum over however many
+        # views the passed arrays hold (full window sequentially, or one
+        # device's shard under parallel/mapping.make_parallel_optimize —
+        # the view count comes from images.shape[0], not the config).
+        def window_loss_raw(params, pose_deltas, exposure, alive, images,
+                            depths_gt, w2c_base, weights, optimize_pose):
             def per_view(i):
                 td = pose_deltas["t"][i] if optimize_pose else jnp.zeros(3)
                 rd = pose_deltas["r"][i] if optimize_pose else jnp.zeros(3)
@@ -234,9 +247,18 @@ class MappingBackend:
                 return acc + loss * weights[i], (radii, vis)
 
             total, (radii, vis) = jax.lax.scan(
-                body, jnp.float32(0.0), jnp.arange(W_SIZE))
-            total = total / jnp.maximum(weights.sum(), 1.0)
+                body, jnp.float32(0.0), jnp.arange(images.shape[0]))
             return total, (radii, vis)
+
+        def window_loss(params, pose_deltas, exposure, alive, images,
+                        depths_gt, w2c_base, weights, optimize_pose):
+            total, aux = window_loss_raw(params, pose_deltas, exposure,
+                                         alive, images, depths_gt,
+                                         w2c_base, weights, optimize_pose)
+            return total / jnp.maximum(weights.sum(), 1.0), aux
+
+        # exposed for parallel/mapping.make_parallel_optimize
+        self._window_loss_raw = window_loss_raw
 
         def optimize(arena: GaussianArena, adam, cams: CameraBuffer,
                      window_idx, weights, iters: int, optimize_pose: bool,

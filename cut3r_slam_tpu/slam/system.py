@@ -89,6 +89,10 @@ class SLAMSystem:
             lambda_normal=mcfg.get("lambda_normal", 0.05),
             lambda_iso=mcfg.get("lambda_iso", 10.0),
             pose_lr=trcfg.get("pose_lr", 0.0003))
+        # view-parallel mapping: shard the window's renders over an
+        # ``mv`` mesh axis (config Mapping.view_parallel = device count;
+        # parallel/mapping.py). 0/1 = sequential single-chip scan.
+        self.map_view_parallel = int(mcfg.get("view_parallel", 0))
         self.map_hw = map_hw
         self.output_dir = output_dir
         self.mapping_iters = mcfg.get("iterations", 100)
@@ -181,9 +185,16 @@ class SLAMSystem:
 
     def _init_mapper(self, K4_map):
         mh, mw = self.map_hw
+        mesh = None
+        if self.map_view_parallel > 1:
+            import jax
+            if len(jax.devices()) >= self.map_view_parallel:
+                from ..parallel import make_mesh
+                mesh = make_mesh(self.map_view_parallel, axes=("mv",),
+                                 shape=(self.map_view_parallel,))
         self.mapper = MappingBackend(
             MappingConfig(height=mh, width=mw, **self._map_cfg_extra),
-            np.asarray(K4_map, np.float32))
+            np.asarray(K4_map, np.float32), mesh=mesh)
 
     def run(self, t: int, img: np.ndarray, K4: np.ndarray,
             img_map: Optional[np.ndarray] = None,

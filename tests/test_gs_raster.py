@@ -132,3 +132,29 @@ def test_alpha_is_weight_sum():
     a = np.asarray(out["alpha"])[H // 2, W // 2]
     # single gaussian: weight = alpha = ~0.5 * coef at center
     assert 0.2 < a < 0.55
+
+
+def test_fused_bin_key_matches_two_key_sort():
+    """The packed uint32 (tile | quantized-depth) binning key must give
+    the same per-tile entry lists (hence identical renders) as the exact
+    2-key (tile, f32 depth) sort whenever depths are separated by more
+    than the quantization step (~1e-4 relative)."""
+    import dataclasses
+    rng = np.random.default_rng(7)
+    N = 64
+    means = jnp.asarray(np.concatenate(
+        [rng.uniform(-0.5, 0.5, (N, 2)),
+         rng.uniform(1.0, 6.0, (N, 1))], axis=1), jnp.float32)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (N, 1))
+    scales = jnp.full((N, 3), 0.05)
+    opac = jnp.full((N,), 0.7)
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
+
+    cfg_fused = dataclasses.replace(CFG, fused_bin_key=True)
+    cfg_exact = dataclasses.replace(CFG, fused_bin_key=False)
+    out_f = rasterize(means, quats, scales, opac, colors, K4, cfg_fused)
+    out_e = rasterize(means, quats, scales, opac, colors, K4, cfg_exact)
+    for k in ("color", "depth", "alpha", "mdepth"):
+        np.testing.assert_allclose(np.asarray(out_f[k]),
+                                   np.asarray(out_e[k]), atol=1e-6,
+                                   err_msg=f"output {k} diverged")

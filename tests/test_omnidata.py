@@ -32,13 +32,21 @@ from cut3r_slam_tpu.models.omnidata import (
 
 def _import_midas_blocks():
     """Import the reference midas.blocks with timm stubbed out (the
-    decoder classes used here don't reference it)."""
-    if "timm" not in sys.modules:
+    decoder classes used here don't reference it). The stub is removed
+    from sys.modules afterwards — a spec-less stub left behind makes
+    importlib.util.find_spec("timm") raise in OTHER test modules
+    (transformers probes it in tests/test_torch_parity.py)."""
+    created = "timm" not in sys.modules
+    if created:
         sys.modules["timm"] = types.ModuleType("timm")
     ref = "/root/reference/hislam2"
     if ref not in sys.path:
         sys.path.insert(0, ref)
-    import midas.blocks as mb
+    try:
+        import midas.blocks as mb
+    finally:
+        if created:
+            del sys.modules["timm"]
     return mb
 
 
