@@ -459,17 +459,55 @@ class SLAMSystem:
         return result
 
     # ------------------------------------------------------------------
-    def _render_cam(self, idx: int, apply_exposure: bool = True):
-        """Render one mapped camera; returns (rgb [0,1] f32, depth f32)."""
-        from .renderer import render_view
+    _EVAL_BATCH = 16
+
+    def _render_views_batched(self, w2cs: np.ndarray,
+                              exp_a: Optional[np.ndarray] = None,
+                              exp_b: Optional[np.ndarray] = None):
+        """Render V views in ONE device dispatch per bucket of
+        ``_EVAL_BATCH`` (lax.map inside jit) instead of a host round-trip
+        per view — terminate-time eval over hundreds of keyframes is
+        dispatch-bound otherwise (each per-view call costs a full
+        host<->device sync over the axon tunnel). Returns
+        (imgs (V,H,W,3) in [0,1], depths (V,H,W)). exp_a/exp_b: optional
+        per-view exposure affine; None = identity."""
+        import jax
         m = self.mapper
-        out = render_view(m.arena.params(), m.arena.alive, m.cams.w2c[idx],
-                          m.K4, m.raster_cfg)
-        img = np.asarray(out["color"], np.float32)
-        if apply_exposure:
-            img = img @ np.asarray(m.cams.exposure_a[idx]) \
-                + np.asarray(m.cams.exposure_b[idx])
-        return np.clip(img, 0.0, 1.0), np.asarray(out["depth"], np.float32)
+        B = self._EVAL_BATCH
+        V = w2cs.shape[0]
+        if exp_a is None:
+            exp_a = np.broadcast_to(np.eye(3, dtype=np.float32), (V, 3, 3))
+        if exp_b is None:
+            exp_b = np.zeros((V, 3), np.float32)
+        if not hasattr(self, "_eval_render_jit"):
+            from .renderer import render_view
+
+            def batch(params, alive, w2c_b, ea_b, eb_b):
+                def one(args):
+                    w2c, a, b = args
+                    out = render_view(params, alive, w2c, m.K4,
+                                      m.raster_cfg)
+                    img = jnp.clip(out["color"] @ a + b, 0.0, 1.0)
+                    return img, out["depth"]
+                return jax.lax.map(one, (w2c_b, ea_b, eb_b))
+
+            self._eval_render_jit = jax.jit(batch)
+        imgs, depths = [], []
+        for s in range(0, V, B):
+            # pad the tail bucket by repeating row 0 so every call hits
+            # the same compiled (B,...) program
+            sl = slice(s, min(s + B, V))
+            n = sl.stop - sl.start
+            pad = [(0, B - n)] + [(0, 0)] * 2
+            w2c_b = np.pad(w2cs[sl], pad, mode="edge")
+            ea_b = np.pad(exp_a[sl], pad, mode="edge")
+            eb_b = np.pad(exp_b[sl], [(0, B - n), (0, 0)], mode="edge")
+            im, de = self._eval_render_jit(
+                m.arena.params(), m.arena.alive, jnp.asarray(w2c_b),
+                jnp.asarray(ea_b), jnp.asarray(eb_b))
+            imgs.append(np.asarray(im, np.float32)[:n])
+            depths.append(np.asarray(de, np.float32)[:n])
+        return np.concatenate(imgs), np.concatenate(depths)
 
     @staticmethod
     def _save_render(img: np.ndarray, depth: np.ndarray, img_dir: str,
@@ -494,10 +532,16 @@ class SLAMSystem:
         os.makedirs(depth_dir, exist_ok=True)
         ps, ss, lp, l1 = [], [], [], []
         m = self.mapper
-        for i in range(self.keyframes.count):
-            if not bool(m.cams.valid[i]):
-                continue
-            img, depth = self._render_cam(i)
+        valid = np.asarray(m.cams.valid)
+        idxs = [i for i in range(self.keyframes.count) if valid[i]]
+        if idxs:
+            ii = np.asarray(idxs)
+            imgs, depths = self._render_views_batched(
+                np.asarray(m.cams.w2c)[ii],
+                np.asarray(m.cams.exposure_a)[ii],
+                np.asarray(m.cams.exposure_b)[ii])
+        for j, i in enumerate(idxs):
+            img, depth = imgs[j], depths[j]
             gt = np.asarray(m.cams.image[i], np.float32) / 255.0
             self._save_render(img, depth, img_dir, depth_dir, i)
             mask = gt > 0
@@ -544,30 +588,40 @@ class SLAMSystem:
         mh, mw = self.map_hw
         all_ts = sorted(self.images) if self.images else sorted(kf_ts)
         ps, ss, lp, l1 = [], [], [], []
-        n_nonkf = 0
+        # pass 1: collect the views to render (KF: stored camera +
+        # exposure; non-KF: filled pose, identity exposure), then render
+        # them all in batched device dispatches
+        sel = []   # (tt, kf_index_or_None, w2c, exp_a, exp_b)
+        valid = np.asarray(m.cams.valid)
+        eye3 = np.eye(3, dtype=np.float32)
         for j, tt in enumerate(all_ts):
             is_kf = tt in kf_ts
             if tt % 5 != 0 and not is_kf and j != len(all_ts) - 1:
                 continue
             if is_kf:
                 i = kf_ts[tt]
-                if not bool(m.cams.valid[i]):
+                if not valid[i]:
                     continue
-                img, depth = self._render_cam(i)
-                gtd = np.asarray(m.cams.depth[i], np.float32)
-                l1.append(E.depth_l1(depth, gtd))
+                sel.append((tt, i, np.asarray(m.cams.w2c[i]),
+                            np.asarray(m.cams.exposure_a[i]),
+                            np.asarray(m.cams.exposure_b[i])))
             elif tt in fill_poses:
                 c2w = np.asarray(se3_matrix(jnp.asarray(
                     fill_poses[tt], jnp.float32)))
-                from .renderer import render_view
-                out = render_view(m.arena.params(), m.arena.alive,
-                                  jnp.asarray(np.linalg.inv(c2w)),
-                                  m.K4, m.raster_cfg)
-                img = np.clip(np.asarray(out["color"], np.float32), 0, 1)
-                depth = np.asarray(out["depth"], np.float32)
-                n_nonkf += 1
-            else:
-                continue
+                sel.append((tt, None, np.linalg.inv(c2w).astype(np.float32),
+                            eye3, np.zeros(3, np.float32)))
+        n_nonkf = sum(1 for s in sel if s[1] is None)
+        if sel:
+            imgs_b, depths_b = self._render_views_batched(
+                np.stack([s[2] for s in sel]),
+                np.stack([s[3] for s in sel]),
+                np.stack([s[4] for s in sel]))
+        for j, (tt, i, _, _, _) in enumerate(sel):
+            img, depth = imgs_b[j], depths_b[j]
+            is_kf = i is not None
+            if is_kf:
+                gtd = np.asarray(m.cams.depth[i], np.float32)
+                l1.append(E.depth_l1(depth, gtd))
             if tt in self.images:
                 gt = self.images[tt]
                 if gt.shape[:2] != (mh, mw):
@@ -575,7 +629,7 @@ class SLAMSystem:
                                    for c in range(3)], -1)
                 gt = np.asarray(gt, np.float32) / 255.0
             elif is_kf:
-                gt = np.asarray(m.cams.image[kf_ts[tt]], np.float32) / 255.0
+                gt = np.asarray(m.cams.image[i], np.float32) / 255.0
             else:
                 continue
             self._save_render(img, depth, img_dir, depth_dir, tt)
@@ -606,17 +660,16 @@ class SLAMSystem:
     def export_renders(self, outdir: str):
         """Save rendered KF color + uint16 depth x6553.5 for the TSDF
         pipeline (eval_utils.py:60-88 convention)."""
-        from .renderer import render_view
         os.makedirs(outdir, exist_ok=True)
         m = self.mapper
-        for i in range(self.keyframes.count):
-            if not bool(m.cams.valid[i]):
-                continue
-            out = render_view(m.arena.params(), m.arena.alive,
-                              m.cams.w2c[i], m.K4, m.raster_cfg)
-            color = np.clip(np.asarray(out["color"]) * 255, 0, 255
-                            ).astype(np.uint8)
-            depth = np.clip(np.asarray(out["depth"]) * 6553.5, 0, 65535
+        valid = np.asarray(m.cams.valid)
+        idxs = [i for i in range(self.keyframes.count) if valid[i]]
+        if idxs:
+            imgs_b, depths_b = self._render_views_batched(
+                np.asarray(m.cams.w2c)[np.asarray(idxs)])
+        for j, i in enumerate(idxs):
+            color = np.clip(imgs_b[j] * 255, 0, 255).astype(np.uint8)
+            depth = np.clip(depths_b[j] * 6553.5, 0, 65535
                             ).astype(np.uint16)
             try:
                 import cv2
