@@ -187,6 +187,14 @@ def main():
     cfg = {"Tracking": {"motion_filter": {"kf_every": 2}},
            "Mapping": {"arena_capacity": arena_capacity,
                        "iterations": 100 if on_tpu else 20}}
+    if not on_tpu:
+        # CPU smoke: one 10-iter optimize segment per mapping stage — the
+        # full reference counts (20/50/10·n) cost ~160 s PER SEGMENT on
+        # this 1-core box (the padded 10-view window renders either way)
+        # and nearly blew the bench budget. Same compiled programs,
+        # fewer invocations; TPU mode keeps the reference counts.
+        cfg["Mapping"].update(window_opt_iters=10, new_view_opt_iters=10,
+                              gba_per_view=2)
     slam = SLAMSystem(model, params, cfg, buffer=64, img_hw=(H, W),
                       enable_mapping=True, enable_loop=True,
                       output_dir="/tmp/bench_out")

@@ -66,6 +66,13 @@ class MappingConfig:
     opacity_threshold: float = 0.005
     gba_segment: int = 50
     opt_segment: int = 10  # iterations per compiled optimization segment
+    # Per-new-view iteration counts inside run() — reference values are
+    # hardcoded 20/50/10 (gs_backend_per_frame.py:776-862). These only
+    # change how many times the SAME compiled segments are invoked, so
+    # lowering them (e.g. the CPU smoke bench) never recompiles.
+    window_opt_iters: int = 20    # optimization() over the sliding window
+    new_view_opt_iters: int = 50  # single-view polish of the newest KF
+    gba_per_view: int = 10        # global_BA iters = gba_per_view * n_views
     alpha_th: float = 0.5
     downsample: int = 2
     max_per_tile: int = 512
@@ -267,8 +274,13 @@ class MappingBackend:
             images = cams.image[window_idx].astype(jnp.float32) / 255.0
             depths_gt = cams.depth[window_idx].astype(jnp.float32)
             w2c = cams.w2c[window_idx]
-            pose_deltas = {"t": jnp.zeros((W_SIZE, 3)),
-                           "r": jnp.zeros((W_SIZE, 3))}
+            # view count from the INDEX SHAPE, not the config: jit
+            # re-specializes per window arity, so single-view callers
+            # (init seeding, the 50-iter new-KF polish) get a V=1
+            # program instead of rendering W_SIZE-1 zero-weight pads
+            V = window_idx.shape[0]
+            pose_deltas = {"t": jnp.zeros((V, 3)),
+                           "r": jnp.zeros((V, 3))}
             exposure = {"a": cams.exposure_a[window_idx],
                         "b": cams.exposure_b[window_idx]}
             # pose/exposure Adam moments thread across opt segments (the
@@ -311,6 +323,10 @@ class MappingBackend:
 
         self._optimize = jax.jit(optimize,
                                  static_argnames=("iters", "optimize_pose"))
+        # sequential program kept under its own name: the view-parallel
+        # override (parallel/mapping.py) only makes sense for full
+        # windows; single-view calls always route here
+        self._optimize_seq = self._optimize
 
         # ------------------------- global BA segment -------------------
         # Like the reference global_BA (gs_backend_per_frame.py:946-1058),
@@ -514,19 +530,28 @@ class MappingBackend:
         across the segments, matching the reference's per-call horizon
         (gs_backend_per_frame.py:477); the Gaussian Adam state persists
         across calls exactly as the reference's optimizer does."""
-        idx, wts = self._window_arrays(window)
+        if len(window) == 1:
+            # V=1 specialization: a 10x cheaper program than rendering
+            # the padded window with zero weights (same math — padded
+            # views contribute exactly 0 loss and 0 gradient)
+            idx = jnp.asarray(np.asarray(window, np.int32))
+            wts = jnp.ones((1,), jnp.float32)
+            opt_fn = self._optimize_seq
+        else:
+            idx, wts = self._window_arrays(window)
+            opt_fn = self._optimize
+        V = int(idx.shape[0])
         seg = self.cfg.opt_segment
         loss = 0.0
         w2c = exposure = None
-        W_SIZE = self.cfg.window_size
-        pd_adam = _adam_init({"t": jnp.zeros((W_SIZE, 3)),
-                              "r": jnp.zeros((W_SIZE, 3))})
-        ex_adam = _adam_init({"a": jnp.zeros((W_SIZE, 3, 3)),
-                              "b": jnp.zeros((W_SIZE, 3))})
+        pd_adam = _adam_init({"t": jnp.zeros((V, 3)),
+                              "r": jnp.zeros((V, 3))})
+        ex_adam = _adam_init({"a": jnp.zeros((V, 3, 3)),
+                              "b": jnp.zeros((V, 3))})
         for _ in range(max(1, (int(iters) + seg - 1) // seg)):
             params, self.adam, w2c, exposure, loss, pd_adam, ex_adam = \
-                self._optimize(self.arena, self.adam, self.cams, idx, wts,
-                               seg, bool(optimize_pose), pd_adam, ex_adam)
+                opt_fn(self.arena, self.adam, self.cams, idx, wts,
+                       seg, bool(optimize_pose), pd_adam, ex_adam)
             self.arena = self.arena.with_params(params)
             if optimize_pose:
                 # write poses AND exposure back every segment — the next
@@ -560,7 +585,7 @@ class MappingBackend:
     def global_ba(self, total_iters: int, densify: bool = True):
         view_ids = [i for i in range(self.cfg.cam_capacity)
                     if bool(self.cams.valid[i])]
-        if not view_ids:
+        if not view_ids or total_iters <= 0:
             return
         seg = self.cfg.gba_segment
         n_segs = max(1, (total_iters + seg - 1) // seg)
@@ -653,12 +678,15 @@ class MappingBackend:
                 rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
                 self.seed(idx, np.asarray(pointmap), rgb_ds,
                           np.asarray(valid) > 0, submap_idx)
-                self.optimization(20, self.current_window)
-                self.optimization(50, [self.current_window[-1]],
-                                  optimize_pose=False)
+                self.optimization(self.cfg.window_opt_iters,
+                                  self.current_window)
+                if self.cfg.new_view_opt_iters > 0:
+                    self.optimization(self.cfg.new_view_opt_iters,
+                                      [self.current_window[-1]],
+                                      optimize_pose=False)
 
         n_views = int(np.sum(np.asarray(self.cams.valid)))
-        self.global_ba(10 * n_views, densify=True)
+        self.global_ba(self.cfg.gba_per_view * n_views, densify=True)
         return self.data_update(self.current_window)
 
     def finalize(self, iters: int = 2000):

@@ -88,6 +88,9 @@ class SLAMSystem:
             lambda_depth=mcfg.get("lambda_depth", 0.5),
             lambda_normal=mcfg.get("lambda_normal", 0.05),
             lambda_iso=mcfg.get("lambda_iso", 10.0),
+            window_opt_iters=int(mcfg.get("window_opt_iters", 20)),
+            new_view_opt_iters=int(mcfg.get("new_view_opt_iters", 50)),
+            gba_per_view=int(mcfg.get("gba_per_view", 10)),
             pose_lr=trcfg.get("pose_lr", 0.0003))
         # view-parallel mapping: shard the window's renders over an
         # ``mv`` mesh axis (config Mapping.view_parallel = device count;

@@ -57,6 +57,13 @@ def test_seed_and_optimize_improves_psnr(backend):
     # toy scene, 0.1-opacity init, 100 iters: measured 19.4 dB (seeded
     # render is ~9.2 dB) — regression margin at 17
     assert p1 > 17.0, p1
+    # RECOVERY guarantee, not just improvement: with a longer budget the
+    # per-pixel-seeded plane must keep converging. The joint loss also
+    # carries inverse-depth/normal/iso terms so RGB PSNR plateaus ~21.2
+    # dB here (measured; 400 iters total) — bar at 20.5.
+    be.optimization(300, [0], optimize_pose=False)
+    p2 = be.eval_view(0)
+    assert p2 > 20.5, p2
 
 
 def test_rendered_depth_close_to_gt(backend):
@@ -84,6 +91,14 @@ def test_pose_refine_recovers_perturbation(backend):
     # 20 refine iters on the toy plane recover ~23% of the perturbation
     # (measured 0.77 ratio); assert a real decrease, not just any change
     assert err_after < 0.85 * err_before, (err_before, err_after)
+    # and with the reference's full budget (50+ iters, pose_refine is
+    # re-entrant) the pose must RECOVER, not merely improve
+    for _ in range(4):
+        be.pose_refine(1)
+        err_after = np.abs(np.asarray(be.cams.w2c[1]) - true_w2c).max()
+        if err_after < 0.35 * err_before:
+            break
+    assert err_after < 0.5 * err_before, (err_before, err_after)
 
 
 def test_global_ba_runs_and_densifies(backend):
