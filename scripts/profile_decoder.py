@@ -1,0 +1,120 @@
+"""Profile the CUT3R submap-tracking hot programs on the current device.
+
+Times, at the live full scale (ViT-L encoder, 512x384, V=6 submap):
+  encoder   encode_image batch-1 (the per-frame motion-filter cost)
+  decoder   the jitted V=6 decode-from-stored-tokens submap program
+            (slam/frontend.py _infer: fused dual-stream decoder +
+            self-pointmap DPT + pose head)
+and reports per-call ms plus MFU derived from XLA's own cost analysis
+(compiled.cost_analysis()['flops']) against the chip's peak. Peak
+defaults to TPU v5e bf16 (197 TFLOP/s); override with PEAK_TFLOPS env.
+
+Counterpart evidence for the reference's per-submap decode cost
+(/root/reference/src/dust3r/model.py:660-698 semantics, measured there
+as part of the 16-FPS RTX-4090 end-to-end run, README.md:114).
+
+Usage: python scripts/profile_decoder.py  (run on the TPU; results are
+committed to IMPLEMENTATION_STATUS.md's performance table)
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from cut3r_slam_tpu.models import CUT3R, CUT3RConfig  # noqa: E402
+from cut3r_slam_tpu.models.patch_embed import patch_positions  # noqa: E402
+
+PEAK_TFLOPS = float(os.environ.get("PEAK_TFLOPS", 197.0))  # v5e bf16
+
+
+def timed(fn, *args, iters=20):
+    out = jax.block_until_ready(fn(*args))
+    # host readback = reliable sync under the axon tunnel
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def flops_of(jitted, *args):
+    try:
+        c = jitted.lower(*args).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    H, W, V = 384, 512, 6
+    cfg = CUT3RConfig()
+    model = CUT3R(cfg)
+    print(f"backend={jax.default_backend()} arch=ViT-L/{cfg.dec_depth}dec "
+          f"{W}x{H} V={V}", flush=True)
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 1, H, W, 3), jnp.float32))
+    p16 = cfg.patch_size
+    n_tok = (H // p16) * (W // p16)
+
+    # --- encoder (per-frame motion-filter cost) ---
+    img = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (1, H, W, 3)), jnp.float32)
+    enc = jax.jit(lambda p, x: model.apply(p, x,
+                                           method=CUT3R.encode_image))
+    t_enc = timed(enc, params, img)
+    f_enc = flops_of(enc, params, img)
+
+    # --- V=6 submap decode from stored tokens (frontend._infer body) ---
+    feat = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, (V, 1, n_tok, cfg.enc_embed_dim)), jnp.float32)
+
+    @jax.jit
+    def dec(p, f):
+        pos = patch_positions(V, H // p16, W // p16)
+        out, _ = model.apply(p, f, pos[:, None], H, W, None, jnp.int32(0),
+                             method=CUT3R.decode_views,
+                             head_outputs=("self", "pose"))
+        return out["pts3d_in_self_view"], out["camera_pose"]
+
+    t_dec = timed(dec, params, feat)
+    f_dec = flops_of(dec, params, feat)
+
+    def mfu(flops, ms):
+        return flops / (ms * 1e-3) / (PEAK_TFLOPS * 1e12) if ms else 0.0
+
+    rows = [
+        ("encoder_b1", t_enc, f_enc, mfu(f_enc, t_enc)),
+        ("decode_submap_v6", t_dec, f_dec, mfu(f_dec, t_dec)),
+    ]
+    print(f"{'program':<20}{'ms':>10}{'GFLOP':>12}{'MFU':>8}")
+    for name, ms, fl, u in rows:
+        print(f"{name:<20}{ms:>10.2f}{fl / 1e9:>12.1f}{u:>8.1%}")
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "peak_tflops": PEAK_TFLOPS,
+        "encoder_b1_ms": round(t_enc, 2),
+        "encoder_b1_mfu": round(mfu(f_enc, t_enc), 4),
+        "decode_submap_v6_ms": round(t_dec, 2),
+        "decode_submap_v6_mfu": round(mfu(f_dec, t_dec), 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
