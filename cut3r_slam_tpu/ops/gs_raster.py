@@ -37,7 +37,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["RasterizeConfig", "rasterize", "quat_wxyz_to_matrix"]
+__all__ = ["RasterizeConfig", "rasterize", "compute_bins",
+           "quat_wxyz_to_matrix"]
 
 TILE = 16
 ALPHA_MIN = 1.0 / 255.0
@@ -322,6 +323,29 @@ def _bin_gaussians(pre, cfg: RasterizeConfig):
     return entry_gauss, in_range
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def compute_bins(means_cam: jax.Array, quats_wxyz: jax.Array,
+                 scales: jax.Array, opacities: jax.Array, K4: jax.Array,
+                 cfg: "RasterizeConfig"):
+    """Tile-binning alone: per-tile Gaussian entry lists + validity mask.
+
+    The duplicate-sort binning is the per-render fixed cost the CUDA
+    rasterizer pays on every forward (rasterizer_impl.cu:70-151, where a
+    device radix sort is ~free). On TPU the 2M-entry XLA sort costs ~8 ms,
+    so the mapping optimizer computes bins ONCE PER SEGMENT here and
+    passes them to ``rasterize(..., bins=...)`` for the segment's
+    iterations: Gaussian centers move ~1e-4 world units/iter at the
+    mapping LRs (<0.2 px), far inside the 3-sigma rect slack, so reusing
+    a segment-start bin is exact up to entries entering/leaving a tile's
+    fringe. Fresh per-render validity (near-cull) is re-applied at
+    render time via the entry mask.
+
+    Returns (entry_gauss (n_tiles, K) int32, entry_mask (n_tiles, K) bool).
+    """
+    pre = _preprocess(means_cam, quats_wxyz, scales, opacities, K4, cfg)
+    return _bin_gaussians(pre, cfg)
+
+
 # ---------------------------------------------------------------------------
 # blending
 # ---------------------------------------------------------------------------
@@ -464,7 +488,8 @@ def _untile(x, cfg: RasterizeConfig):
 def rasterize(means_cam: jax.Array, quats_wxyz: jax.Array, scales: jax.Array,
               opacities: jax.Array, colors: jax.Array, K4: jax.Array,
               cfg: RasterizeConfig, bg: Optional[jax.Array] = None,
-              means2d_probe: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+              means2d_probe: Optional[jax.Array] = None,
+              bins=None) -> Dict[str, jax.Array]:
     """Render one view. All Gaussian quantities in CAMERA frame.
 
     means_cam (P,3); quats_wxyz (P,4) normalized; scales (P,3) positive;
@@ -472,6 +497,9 @@ def rasterize(means_cam: jax.Array, quats_wxyz: jax.Array, scales: jax.Array,
     means2d_probe: optional (P,2) zeros added to the projected centers —
     its cotangent is the viewspace positional gradient used by the
     densification criterion (replaces the CUDA screenspace_points hack).
+    bins: optional (entry_gauss, entry_mask) from ``compute_bins`` — a
+    cached binning reused across an optimization segment's iterations
+    (fresh per-render validity is re-applied; see compute_bins).
 
     Returns H x W maps: color (H,W,3), alpha, depth, mdepth, coord,
     mcoord, normal, plus per-Gaussian radii and visibility.
@@ -481,7 +509,11 @@ def rasterize(means_cam: jax.Array, quats_wxyz: jax.Array, scales: jax.Array,
     pre = _preprocess(means_cam, quats_wxyz, scales, opacities, K4, cfg)
     if means2d_probe is not None:
         pre["mean2d"] = pre["mean2d"] + means2d_probe
-    entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
+    if bins is None:
+        entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
+    else:
+        entry_gauss, entry_mask = bins
+        entry_mask = entry_mask & pre["valid"][entry_gauss]
     carry, _ = _blend_tiles(pre, colors, entry_gauss, entry_mask, bg, cfg)
     (T, wsum, Csum, Dsum, Coordsum, Nsum, mDepth, mCoord, anyc, _done) = carry
 

@@ -3,8 +3,7 @@
 The XLA formulation in ops/gs_raster.py materializes the per-tile gathered
 Gaussian attributes in HBM and streams them through a lax.scan. These
 kernels fuse the whole per-tile front-to-back blend into VMEM-resident
-programs; each grid step blends a BATCH of TB tiles (per-grid-step fixed
-costs measured ~40/150 us fwd/bwd — batching amortizes them).
+programs; each grid step blends a BATCH of TB tiles.
 
 The key reformulation: the per-(entry, pixel) Gaussian exponent and ray
 depth are polynomials in the pixel coordinates —
@@ -12,31 +11,41 @@ depth are polynomials in the pixel coordinates —
   power = q0 + q1 x + q2 y + q3 x^2 + q4 y^2 + q5 xy      (EWA conic)
   t     = t0 + t1 x + t2 y                                 (ray plane)
 
-so each chunk computes them as ONE batched MXU contraction of a packed
-16-channel per-entry matrix  A = [q0..q5, t0..t2, rgb, normal, 1]
-against per-tile basis planes  B = [1, x, y, x^2, y^2, xy] (tile-LOCAL
-pixel coordinates keep the f32 cancellation error ~1e-4). log(opacity)
-and the entry validity mask fold into q0. Accumulation of all channels
-(color, normal, alpha-weight) is a single transposed contraction with
-the blend weights aT. Transmittance is a log-space triangular-matmul
-prefix product (no cumprod primitive in Mosaic; alphas clamped <= 0.99
-keep log(1-a) finite). Chunk loops are bounded by the batch's max entry
-count (scalar-prefetched) and exit early when every pixel's
-transmittance is exhausted.
+evaluated ELEMENTWISE on the VPU from a packed 16-channel per-entry
+matrix  A = [q0..q5, t0..t2, rgb, normal, 1]  against tile-LOCAL pixel
+coordinates built in-kernel from an iota (local coords keep the f32
+cancellation error ~1e-4 and need no basis-plane DMA). log(opacity) and
+the entry validity mask fold into q0. Channel accumulation (color,
+normal, alpha-weight) is one (16 x C) @ (C x PX) MXU contraction per
+chunk. Transmittance is a log-space prefix sum computed with a
+Hillis-Steele doubling scan of sublane `pltpu.roll`s — O(C log C) VPU
+adds instead of the previous (C x C) triangular matmuls, which at
+f32-HIGHEST were 6-pass MXU ops at 6% utilization and dominated the
+kernel. Chunk loops are bounded by the batch's max entry count
+(scalar-prefetched) and exit early when every pixel's transmittance is
+exhausted.
+
+Performance-critical layout choice: A is packed (n_tiles, 16, K) so the
+LANE dimension is the entry axis K (512) — the previous (n_tiles, K, 16)
+layout put 16 channels in the lanes, padding every load 16 -> 128.
 
 The backward mirrors the CUDA backward (/root/reference/thirdparty/
 diff-gaussian-rasterization/cuda_rasterizer/backward.cu:145-632): two
 forward chunk passes — pass 1 reduces per-pixel totals (sum aT*b,
 last-contributor chunk, final T); pass 2 turns running prefix sums into
 the suffix terms  dL/da_i = T_i*b_i - (S_i + g_T*T_final)/(1-a_i)  and
-emits ONE packed (TB, K, 16) gradient dA; XLA autodiff chains dA through
-the (differentiable) packing back to means/conics/opacity/colors/planes.
-Gradients match JAX AD of ops/gs_raster.py to float tolerance
-(tests/test_gs_raster_pallas.py).
+emits ONE packed (TB, 16, C) gradient dA per chunk via a single merged
+contraction over [pixels | power-basis | depth-basis] (3*PX lanes).
+XLA autodiff chains dA through the (differentiable) packing back to
+means/conics/opacity/colors/planes. Gradients match JAX AD of
+ops/gs_raster.py to float tolerance (tests/test_gs_raster_pallas.py).
 
 ``rasterize_pallas`` is the differentiable drop-in for ops/gs_raster.
 rasterize (minus the coord/mcoord maps, unused by the mapping losses);
-``rasterize_pallas_forward`` remains the forward-only entry.
+``rasterize_pallas_forward`` remains the forward-only entry. Both accept
+``bins=`` (see gs_raster.compute_bins) so the mapping optimizer reuses
+one binning across a segment, and sort tile batches by occupancy so the
+per-batch chunk bound tracks the actual entry counts.
 """
 from __future__ import annotations
 
@@ -55,40 +64,44 @@ __all__ = ["rasterize_pallas_forward", "rasterize_pallas"]
 PX = TILE * TILE  # 256 pixels per tile
 NCH = 16          # packed entry channels
 
-# In-kernel matmul precision: Mosaic's DEFAULT lowers f32 dots to ONE
-# bf16 MXU pass, which wrecks the blend numerics (compiled-vs-interpret
-# color maxdiff ~0.6 observed on a v5 chip). HIGHEST = exact f32.
+# Matmul precision for the channel accumulations. Mosaic lowers only
+# DEFAULT (one bf16 MXU pass — wrecks the blend numerics, compiled-vs-
+# interpret maxdiff ~0.6 measured on a v5 chip) and HIGHEST (exact f32);
+# HIGH raises NotImplementedError. HIGHEST is affordable here because
+# the transmittance chain no longer uses matmuls (roll-scan): only the
+# small channel-accumulation contractions remain on the MXU.
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _tri_strict(C):
-    """(C, C) 0/1 strict lower-triangular matrix: tri[i, j] = [j < i]."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    return (c < r).astype(jnp.float32)
+def _prefix_inclusive(x):
+    """Inclusive prefix sum along the ENTRY axis (axis 1 of (TB, C, PX))
+    via a Hillis-Steele doubling scan of sublane rolls — pure VPU."""
+    C = x.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < C:
+        x = x + jnp.where(iota >= d, pltpu.roll(x, d, axis=1), 0.0)
+        d *= 2
+    return x
 
 
-def _prefix_strict(x):
-    """Strict prefix sum along the ENTRY axis (axis 1 of (TB, C, PX))."""
-    return jnp.einsum("ij,bjp->bip", _tri_strict(x.shape[1]), x,
-                      preferred_element_type=jnp.float32,
-                      precision=_PREC)
+def _pixel_xy():
+    """Tile-local pixel coordinates as (1, 1, PX) f32 lane vectors."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PX), 2)
+    return ((p % TILE).astype(jnp.float32),
+            (p // TILE).astype(jnp.float32))
 
 
-def _chunk_blend(a_ref, bp, bt, sl, T_in):
+def _chunk_blend(A, T_in):
     """Forward-chunk recompute for a TB-tile batch.
 
-    a_ref: (TB, K, 16) packed entries; bp/bt: (TB, 16, PX) power / depth
-    basis planes; T_in: (TB, 1, PX). Returns (TB, C, PX) maps.
+    A: (TB, 16, C) packed entry chunk (indexed out of the 4D
+    (TB, n_chunks, 16, C) block on a MAJOR dim — Mosaic cannot
+    dynamic-slice the lane dimension); T_in: (TB, 1, PX).
+    Returns (TB, C, PX) maps.
     """
-    A = a_ref[:, sl, :]                                   # (TB, C, 16)
-    # The power/depth polynomials are evaluated ELEMENTWISE on the VPU
-    # (broadcast FMAs), not as an A @ basis MXU contraction: the K=16
-    # contraction wastes 7/8 of the systolic array AND the quadratic
-    # terms (x^2 up to 225) lose too much mantissa in bf16 passes.
-    x = bp[:, 1:2, :]                                      # (TB, 1, PX)
-    y = bp[:, 2:3, :]
-    ch = [A[:, :, k:k + 1] for k in range(9)]              # (TB, C, 1)
+    x, y = _pixel_xy()
+    ch = [A[:, k, :][:, :, None] for k in range(9)]       # (TB, C, 1)
     power = (ch[0] + ch[1] * x + ch[2] * y
              + ch[3] * (x * x) + ch[4] * (y * y) + ch[5] * (x * y))
     t_all = ch[6] + ch[7] * x + ch[8] * y
@@ -102,20 +115,20 @@ def _chunk_blend(a_ref, bp, bt, sl, T_in):
     ok = alpha_c >= ALPHA_MIN
     alpha0 = jnp.where(ok, alpha_c, 0.0)
     log1m0 = jnp.log(jnp.maximum(1.0 - alpha0, 1e-20))
-    ps0 = _prefix_strict(log1m0)
+    inc0 = _prefix_inclusive(log1m0)
+    ps0 = inc0 - log1m0                      # strict prefix
     # early-termination test entirely in log space (no exp for Tb0):
     # Tb0*(1-alpha0) < T_MIN  <=>  log T_in + ps0 + log1m0 < log T_MIN
     lT = jnp.log(jnp.maximum(T_in, 1e-30))
-    viol = ((lT + ps0 + log1m0) < jnp.float32(jnp.log(T_MIN))
-            ).astype(jnp.float32)
-    sviol = _prefix_strict(viol)
-    keep = ((sviol + viol) < 0.5).astype(jnp.float32)
+    viol = ((lT + inc0) < jnp.float32(jnp.log(T_MIN))).astype(jnp.float32)
+    keep = (_prefix_inclusive(viol) < 0.5).astype(jnp.float32)
     alpha = alpha0 * keep
     # keep is 0/1, so log(1 - alpha0*keep) == keep * log(1 - alpha0)
     log1m = log1m0 * keep
-    Tb = T_in * jnp.exp(_prefix_strict(log1m))
+    inc = _prefix_inclusive(log1m)
+    Tb = T_in * jnp.exp(inc - log1m)
     aT = alpha * Tb
-    T_out = T_in * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+    T_out = T_in * jnp.exp(inc[:, -1:, :])
     return dict(A=A, alpha_raw=alpha_raw, alpha=alpha, Tb=Tb, aT=aT,
                 t_all=t_all, T_out=T_out,
                 gate=jnp.where(ok & (alpha_raw < 0.99), keep, 0.0))
@@ -130,21 +143,19 @@ def _batch_chunks(cnt_ref, tb, chunk, k_entries):
     return jnp.minimum(pl.cdiv(m, chunk), k_entries // chunk)
 
 
-def _blend_fwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
+def _blend_fwd_kernel(cnt_ref, a_ref,
                       o_out, dsum_out, mdep_out, tleft_out,
                       *, tb: int, chunk: int, k_entries: int):
     """One grid step = TB tiles. Outputs: O (TB, 16, PX) accumulated
     channels (rows 9..11 color, 12..14 normal, 15 alpha-weight), expected
     ray-depth sum, median ray depth, leftover transmittance."""
     n_chunks = _batch_chunks(cnt_ref, tb, chunk, k_entries)
-    bp = bp_ref[:]
-    bt = bt_ref[:]
 
     def chunk_body(state):
         ci, (T, osum, dsum, mdep) = state
-        v = _chunk_blend(a_ref, bp, bt, pl.ds(ci * chunk, chunk), T)
+        v = _chunk_blend(a_ref[:, ci], T)
         aT, t_all = v["aT"], v["t_all"]
-        osum = osum + jnp.einsum("bcp,bck->bkp", aT, v["A"],
+        osum = osum + jnp.einsum("bkc,bcp->bkp", v["A"], aT,
                                  preferred_element_type=jnp.float32,
                                  precision=_PREC)
         dsum = dsum + jnp.sum(aT * t_all, axis=1, keepdims=True)
@@ -183,17 +194,15 @@ def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
     """Backward: two forward chunk passes emitting the packed dA."""
     da_out[:] = jnp.zeros(da_out.shape, da_out.dtype)
     n_chunks = _batch_chunks(cnt_ref, tb, chunk, k_entries)
-    bp = bp_ref[:]
-    bt = bt_ref[:]
     gO = go_ref[:]          # (TB, 16, PX); rows 0..8 arrive zero
     gd = gd_ref[:]          # (TB, 1, PX) expected-depth-sum cotangent
     gmd = gmd_ref[:]        # (TB, 1, PX) median-depth cotangent
     gT = gT_ref[:]          # (TB, 1, PX) final-transmittance cotangent
 
     def with_b(ci, T):
-        v = _chunk_blend(a_ref, bp, bt, pl.ds(ci * chunk, chunk), T)
+        v = _chunk_blend(a_ref[:, ci], T)
         # per-(entry, pixel) cotangent of aT: all O channels + depth
-        v["b"] = (jnp.einsum("bck,bkp->bcp", v["A"], gO,
+        v["b"] = (jnp.einsum("bkc,bkp->bcp", v["A"], gO,
                              preferred_element_type=jnp.float32,
                              precision=_PREC)
                   + gd * v["t_all"])
@@ -221,13 +230,19 @@ def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
           jnp.full((tb, 1, PX), -1, jnp.int32))))
 
     gTT = gT * T_final  # (TB, 1, PX)
+    # basis planes for the merged dA contraction (constant block, DMA'd
+    # once: the index map pins block 0 for every grid step)
+    Yb = jnp.concatenate([
+        gO,
+        jnp.broadcast_to(bp_ref[:][None], (tb, NCH, PX)),
+        jnp.broadcast_to(bt_ref[:][None], (tb, NCH, PX))], axis=2)
 
     # ---- pass 2: prefix -> suffix, one packed dA per chunk -----------
     def p2(ci, carry):
         T, pre_ab = carry
         v = with_b(ci, T)
         ab = v["aT"] * v["b"]
-        ab_inc = pre_ab + _prefix_strict(ab) + ab
+        ab_inc = pre_ab + _prefix_inclusive(ab)
         S = tot_ab - ab_inc  # suffix sum over later entries
         dalpha = v["Tb"] * v["b"] - (S + gTT) / (1.0 - v["alpha"])
         bm = (v["Tb"] > 0.5) & (v["aT"] > 0.0)
@@ -239,16 +254,14 @@ def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
         dt_all = gd * v["aT"] + gmd * jnp.where(is_med, 1.0, 0.0)
         dpower = dalpha * v["gate"] * v["alpha_raw"]  # d exp = exp
 
-        dA = (jnp.einsum("bcp,bkp->bck", v["aT"], gO,
-                         preferred_element_type=jnp.float32,
-                         precision=_PREC)
-              + jnp.einsum("bcp,bkp->bck", dpower, bp,
-                           preferred_element_type=jnp.float32,
-                           precision=_PREC)
-              + jnp.einsum("bcp,bkp->bck", dt_all, bt,
-                           preferred_element_type=jnp.float32,
-                           precision=_PREC))
-        da_out[:, pl.ds(ci * chunk, chunk), :] = dA
+        # ONE merged contraction over [pixels | power basis | depth
+        # basis] lanes replaces the previous three separate einsums:
+        # dA[k, c] = sum_p aT gO_k + dpower bp_k + dt bt_k
+        X = jnp.concatenate([v["aT"], dpower, dt_all], axis=2)
+        dA = jnp.einsum("bcx,bkx->bkc", X, Yb,
+                        preferred_element_type=jnp.float32,
+                        precision=_PREC)
+        da_out[:, ci] = dA
         return v["T_out"], pre_ab + jnp.sum(ab, axis=1, keepdims=True)
 
     jax.lax.fori_loop(
@@ -269,10 +282,9 @@ def _tile_origins(cfg: RasterizeConfig):
         (tgy.reshape(-1) * TILE).astype(jnp.float32)
 
 
-def _basis_planes(cfg: RasterizeConfig):
-    """Per-tile (n_tiles, 16, PX) power/depth basis planes over tile-
-    LOCAL pixel coordinates (keeps the polynomial evaluation centered)."""
-    n_tiles = cfg.n_tiles
+def _basis_planes():
+    """(16, PX) power/depth basis rows over tile-local pixel coords,
+    used only by the backward's merged dA contraction."""
     oy, ox = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32),
                           jnp.arange(TILE, dtype=jnp.float32),
                           indexing="ij")
@@ -282,34 +294,49 @@ def _basis_planes(cfg: RasterizeConfig):
     zero = jnp.zeros_like(x)
     bp = jnp.stack([one, x, y, x * x, y * y, x * y] + [zero] * 10, 0)
     bt = jnp.stack([zero] * 6 + [one, x, y] + [zero] * 7, 0)
-    return (jnp.broadcast_to(bp[None], (n_tiles, NCH, PX)),
-            jnp.broadcast_to(bt[None], (n_tiles, NCH, PX)))
+    return bp, bt
+
+
+def _build_raw(pre, colors):
+    """(P, 16) per-Gaussian packed attribute rows — built ONCE per render
+    so the per-entry pack needs a single row gather (and its backward a
+    single row scatter) instead of ~9 narrow ones."""
+    return jnp.stack([
+        pre["mean2d"][:, 0], pre["mean2d"][:, 1],
+        pre["conic"][:, 0], pre["conic"][:, 1], pre["conic"][:, 2],
+        jnp.log(jnp.maximum(pre["opacity"], 1e-30)),
+        pre["t_center"],
+        pre["ray_plane"][:, 0], pre["ray_plane"][:, 1],
+        colors[:, 0], colors[:, 1], colors[:, 2],
+        pre["normal"][:, 0], pre["normal"][:, 1], pre["normal"][:, 2],
+        jnp.zeros_like(pre["t_center"]),
+    ], axis=-1)
 
 
 def _pack_entries(pre, colors, entry_gauss, entry_mask,
-                  cfg: RasterizeConfig):
-    """(n_tiles, K, 16) packed per-entry channels, tile-local coords.
+                  cfg: RasterizeConfig, tile_order=None):
+    """(n_tiles, 16, K) packed per-entry channels, tile-local coords.
 
     Differentiable: XLA autodiff routes the kernel's dA back through
-    these expressions (and the gather) to the per-Gaussian attributes.
+    these expressions (and the single row gather) to the per-Gaussian
+    attributes. ``tile_order``: when the entry rows arrive occupancy-
+    permuted, the per-row tile origins must follow the same permutation.
     """
     ox, oy = _tile_origins(cfg)
-    m2d = pre["mean2d"][entry_gauss]                     # (n_tiles, K, 2)
-    mx = m2d[..., 0] - ox[:, None]
-    my = m2d[..., 1] - oy[:, None]
-    con = pre["conic"][entry_gauss]
-    c0, c1, c2 = con[..., 0], con[..., 1], con[..., 2]
-    opa = pre["opacity"][entry_gauss]
-    tc = pre["t_center"][entry_gauss]
-    rp = pre["ray_plane"][entry_gauss]
-    rp0, rp1 = rp[..., 0], rp[..., 1]
-    col = colors[entry_gauss]
-    nrm = pre["normal"][entry_gauss]
+    if tile_order is not None:
+        ox = ox[tile_order]
+        oy = oy[tile_order]
+    G = _build_raw(pre, colors)[entry_gauss]             # (n_tiles, K, 16)
+    mx = G[..., 0] - ox[:, None]
+    my = G[..., 1] - oy[:, None]
+    c0, c1, c2 = G[..., 2], G[..., 3], G[..., 4]
+    logopa = G[..., 5]
+    tc = G[..., 6]
+    rp0, rp1 = G[..., 7], G[..., 8]
     mask = entry_mask.astype(jnp.float32)
 
     q0 = (-0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my
-          + jnp.log(jnp.maximum(opa, 1e-30))
-          + jnp.where(mask > 0, 0.0, -1e30))
+          + logopa + jnp.where(mask > 0, 0.0, -1e30))
     q1 = c0 * mx + c1 * my
     q2 = c2 * my + c1 * mx
     # t = tc + rp.(mean - pix): constant term keeps +rp.mean, the pixel
@@ -317,9 +344,9 @@ def _pack_entries(pre, colors, entry_gauss, entry_mask,
     t0 = tc + rp0 * mx + rp1 * my
     A = jnp.stack([q0, q1, q2, -0.5 * c0, -0.5 * c2, -c1,
                    t0, -rp0, -rp1,
-                   col[..., 0], col[..., 1], col[..., 2],
-                   nrm[..., 0], nrm[..., 1], nrm[..., 2],
-                   jnp.ones_like(q0)], axis=-1)
+                   G[..., 9], G[..., 10], G[..., 11],
+                   G[..., 12], G[..., 13], G[..., 14],
+                   jnp.ones_like(q0)], axis=1)           # (n_tiles, 16, K)
     return A
 
 
@@ -331,45 +358,55 @@ def _pick_tb_chunk(n_tiles, chunk):
     for tb in (8, 4, 2, 1):
         if n_tiles % tb == 0:
             break
-    while tb * chunk > 256 and chunk > 32:
+    while tb * chunk > 512 and chunk > 32:
         chunk //= 2
     return tb, max(chunk, 8)
 
 
 def _pad_entries(A, chunk):
-    """Pad the entry axis of (n_tiles, K, 16) A to a multiple of `chunk`
+    """Pad the entry axis of (n_tiles, 16, K) A to a multiple of `chunk`
     with dead entries (q0 = -1e30 -> alpha 0). Differentiable: the
-    concatenate's cotangent slices the pad rows off dA automatically."""
-    K = A.shape[1]
+    concatenate's cotangent slices the pad columns off dA automatically."""
+    K = A.shape[2]
     K_pad = -(-K // chunk) * chunk
     if K_pad == K:
         return A
-    pad = jnp.zeros((A.shape[0], K_pad - K, NCH), A.dtype)
-    pad = pad.at[..., 0].set(-1e30)
-    return jnp.concatenate([A, pad], axis=1)
+    pad = jnp.zeros((A.shape[0], NCH, K_pad - K), A.dtype)
+    pad = pad.at[:, 0, :].set(-1e30)
+    return jnp.concatenate([A, pad], axis=2)
 
 
-def _blend_call(meta, counts, A, bp, bt):
+def _to_chunked(A, chunk):
+    """(n_tiles, 16, K) -> (n_tiles, K//chunk, 16, chunk): the kernel
+    indexes chunks on a MAJOR dim (lane-dim dynamic slices don't lower)."""
+    n_tiles, _, K = A.shape
+    return A.reshape(n_tiles, NCH, K // chunk, chunk).swapaxes(1, 2)
+
+
+def _blend_call(meta, counts, A):
     chunk0, interpret = meta
-    n_tiles, K = A.shape[0], A.shape[1]
+    n_tiles, K = A.shape[0], A.shape[2]
     tb, chunk = _pick_tb_chunk(n_tiles, chunk0)
+    A4 = _to_chunked(A, chunk)
+    nC = K // chunk
 
-    def espec(c):
-        return pl.BlockSpec((tb, K, c), lambda i, *_: (i, 0, 0),
+    def espec():
+        return pl.BlockSpec((tb, nC, NCH, chunk),
+                            lambda i, *_: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def pspec(c):
         return pl.BlockSpec((tb, c, PX), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel(cnt, a, bpr, btr, o, d, md, t):
-        _blend_fwd_kernel(cnt, a, bpr, btr, o, d, md, t,
+    def kernel(cnt, a, o, d, md, t):
+        _blend_fwd_kernel(cnt, a, o, d, md, t,
                           tb=tb, chunk=chunk, k_entries=K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tb,),
-        in_specs=[espec(NCH), pspec(NCH), pspec(NCH)],
+        in_specs=[espec()],
         out_specs=(pspec(NCH), pspec(1), pspec(1), pspec(1)),
     )
     return pl.pallas_call(
@@ -382,33 +419,40 @@ def _blend_call(meta, counts, A, bp, bt):
             jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
         ),
         interpret=interpret,
-    )(counts, A, bp, bt)
+    )(counts, A4)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend_entries(meta, counts, A, bp, bt):
-    """Differentiable packed blend. meta = (chunk, K, interpret)."""
-    return _blend_call(meta, counts, A, bp, bt)
+def _blend_entries(meta, counts, A):
+    """Differentiable packed blend. meta = (chunk, interpret)."""
+    return _blend_call(meta, counts, A)
 
 
-def _blend_entries_fwd(meta, counts, A, bp, bt):
-    return _blend_call(meta, counts, A, bp, bt), (counts, A, bp, bt)
+def _blend_entries_fwd(meta, counts, A):
+    return _blend_call(meta, counts, A), (counts, A)
 
 
 def _blend_entries_bwd(meta, res, cots):
     chunk0, interpret = meta
-    counts, A, bp, bt = res
+    counts, A = res
     gO, gd, gmd, gT = cots
-    n_tiles, K = A.shape[0], A.shape[1]
+    n_tiles, K = A.shape[0], A.shape[2]
     tb, chunk = _pick_tb_chunk(n_tiles, chunk0)
+    bp, bt = _basis_planes()
+    A4 = _to_chunked(A, chunk)
+    nC = K // chunk
 
-    def espec(c):
-        return pl.BlockSpec((tb, K, c), lambda i, *_: (i, 0, 0),
+    def espec():
+        return pl.BlockSpec((tb, nC, NCH, chunk),
+                            lambda i, *_: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def pspec(c):
         return pl.BlockSpec((tb, c, PX), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+
+    bspec = pl.BlockSpec((NCH, PX), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
 
     def kernel(cnt, a, bpr, btr, go, gdr, gmdr, gTr, da):
         _blend_bwd_kernel(cnt, a, bpr, btr, go, gdr, gmdr, gTr, da,
@@ -417,17 +461,19 @@ def _blend_entries_bwd(meta, res, cots):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tb,),
-        in_specs=[espec(NCH), pspec(NCH), pspec(NCH),
+        in_specs=[espec(), bspec, bspec,
                   pspec(NCH), pspec(1), pspec(1), pspec(1)],
-        out_specs=espec(NCH),
+        out_specs=espec(),
     )
-    dA = pl.pallas_call(
+    dA4 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, K, NCH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nC, NCH, chunk),
+                                       jnp.float32),
         interpret=interpret,
-    )(counts, A, bp, bt, gO, gd, gmd, gT)
-    return None, dA, jnp.zeros_like(bp), jnp.zeros_like(bt)
+    )(counts, A4, bp, bt, gO, gd, gmd, gT)
+    dA = dA4.swapaxes(1, 2).reshape(n_tiles, NCH, K)
+    return None, dA
 
 
 _blend_entries.defvjp(_blend_entries_fwd, _blend_entries_bwd)
@@ -439,22 +485,38 @@ _blend_entries.defvjp(_blend_entries_fwd, _blend_entries_bwd)
 
 def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
                            K4, cfg: RasterizeConfig, bg, means2d_probe,
-                           interpret: bool):
+                           interpret: bool, bins=None):
     if bg is None:
         bg = jnp.zeros(3, means_cam.dtype)
     pre = _preprocess(means_cam, quats_wxyz, scales, opacities, K4, cfg)
     if means2d_probe is not None:
         pre["mean2d"] = pre["mean2d"] + means2d_probe
-    entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
-    _, K = entry_gauss.shape
+    if bins is None:
+        entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
+    else:
+        entry_gauss, entry_mask = bins
+        entry_mask = entry_mask & pre["valid"][entry_gauss]
+    counts = jnp.sum(entry_mask.astype(jnp.int32), axis=1)  # (n_tiles,)
 
-    A = _pack_entries(pre, colors, entry_gauss, entry_mask, cfg)
+    # occupancy sort: batch tiles by descending entry count so each
+    # TB-batch's chunk bound (= its max count) tracks its actual work;
+    # without it one busy tile makes its whole batch blend 512 entries.
+    order = jnp.argsort(-counts)
+    inv_order = jnp.argsort(order)
+    entry_gauss = entry_gauss[order]
+    entry_mask = entry_mask[order]
+    counts = counts[order]
+
+    A = _pack_entries(pre, colors, entry_gauss, entry_mask, cfg,
+                      tile_order=order)
     _, chunk = _pick_tb_chunk(cfg.n_tiles, cfg.chunk)
     A = _pad_entries(A, chunk)
-    bp, bt = _basis_planes(cfg)
-    counts = jnp.sum(entry_mask.astype(jnp.int32), axis=1)  # (n_tiles,)
-    O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, interpret),
-                                         counts, A, bp, bt)
+    O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, interpret), counts, A)
+    # undo the occupancy permutation
+    O = O[inv_order]
+    dsum3 = dsum3[inv_order]
+    mdep3 = mdep3[inv_order]
+    T3 = T3[inv_order]
     Opx = O.swapaxes(1, 2)                       # (n_tiles, PX, 16)
     csum = Opx[..., 9:12]
     nsum = Opx[..., 12:15]
@@ -489,7 +551,7 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def rasterize_pallas(means_cam, quats_wxyz, scales, opacities, colors, K4,
                      cfg: RasterizeConfig, bg=None, means2d_probe=None,
-                     interpret: bool = False):
+                     interpret: bool = False, bins=None):
     """Differentiable Pallas render — drop-in for ops/gs_raster.rasterize
     on the outputs the mapping losses consume (no coord/mcoord maps).
     Gradients flow to all Gaussian attributes, the probe, and (through
@@ -497,14 +559,15 @@ def rasterize_pallas(means_cam, quats_wxyz, scales, opacities, colors, K4,
     """
     return _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities,
                                   colors, K4, cfg, bg, means2d_probe,
-                                  interpret)
+                                  interpret, bins=bins)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def rasterize_pallas_forward(means_cam, quats_wxyz, scales, opacities,
                              colors, K4, cfg: RasterizeConfig,
-                             bg=None, interpret: bool = False):
+                             bg=None, interpret: bool = False, bins=None):
     """Forward-only render using the Pallas tile kernel (rendering, eval,
     data_update, viz)."""
     return _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities,
-                                  colors, K4, cfg, bg, None, interpret)
+                                  colors, K4, cfg, bg, None, interpret,
+                                  bins=bins)

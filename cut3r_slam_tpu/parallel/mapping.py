@@ -95,13 +95,17 @@ def make_parallel_optimize(backend, mesh, axis: str = "mv"):
     def run_impl(params, adam, pose_deltas, pd_adam, exposure, ex_adam,
                  alive, images, depths_gt, w2c, weights,
                  iters, optimize_pose):
+        # one binning per local view per segment (see slam/mapping.py) —
+        # shard-local: each device bins only its own window shard
+        bins = backend._bin_window(params, alive, w2c)
+
         def step(carry, _):
             (params, adam, pose_deltas, pd_adam, exposure, ex_adam,
              w2c) = carry
             (tot, _aux), grads = jax.value_and_grad(
                 wl_raw, argnums=(0, 1, 2), has_aux=True)(
                 params, pose_deltas, exposure, alive, images,
-                depths_gt, w2c, weights, optimize_pose)
+                depths_gt, w2c, weights, optimize_pose, bins)
             gp, gd, ge = grads
             wsum = jnp.maximum(jax.lax.psum(weights.sum(), axis), 1.0)
             loss = jax.lax.psum(tot, axis) / wsum

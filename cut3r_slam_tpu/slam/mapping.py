@@ -39,7 +39,7 @@ from ..geometry.lie import se3_matrix
 from ..geometry.quaternion import quat_normalize
 from .camera import CameraBuffer, se3_delta_to_matrix
 from .gaussian_map import GaussianArena, seed_from_pointmap, densify_and_prune
-from .renderer import render_view, _quat_mult_wxyz
+from .renderer import render_view, bin_view, _quat_mult_wxyz
 
 __all__ = ["MappingConfig", "MappingBackend"]
 
@@ -153,9 +153,11 @@ class MappingBackend:
         alpha_th = cfg.alpha_th
 
         # ------------------------- pose refine -------------------------
-        def pose_refine_loss(deltas, params, alive, image, depth_gt, w2c):
+        def pose_refine_loss(deltas, params, alive, image, depth_gt, w2c,
+                             bins):
             out = render_view(params, alive, w2c, K4, rcfg,
-                              trans_delta=deltas["t"], rot_delta=deltas["r"])
+                              trans_delta=deltas["t"], rot_delta=deltas["r"],
+                              bins=bins)
             img = out["color"]
             d = out["depth"]
             a = out["alpha"]
@@ -178,15 +180,31 @@ class MappingBackend:
             lrs = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
             adam = _adam_init(deltas)
 
+            # segmented binning: the tile sort is recomputed once per
+            # opt_segment iterations at the CURRENT delta (pose moves up
+            # to a few px per segment — inside the 3-sigma rect slack),
+            # instead of on every one of the 50 iterations
+            seg = max(1, min(cfg.opt_segment, cfg.pose_refine_iters))
+            n_seg = -(-cfg.pose_refine_iters // seg)  # ceil: never fewer
+
             def step(carry, _):
-                deltas, adam = carry
+                deltas, adam, bins = carry
                 g = jax.grad(pose_refine_loss)(deltas, params, alive, image,
-                                               depth_gt, w2c)
+                                               depth_gt, w2c, bins)
                 deltas, adam = _adam_step(deltas, g, adam, lrs)
+                return (deltas, adam, bins), None
+
+            def seg_body(carry, _):
+                deltas, adam = carry
+                bins = bin_view(params, alive, w2c, K4, rcfg,
+                                trans_delta=deltas["t"],
+                                rot_delta=deltas["r"])
+                (deltas, adam, _), _ = jax.lax.scan(
+                    step, (deltas, adam, bins), None, length=seg)
                 return (deltas, adam), None
 
-            (deltas, _), _ = jax.lax.scan(step, (deltas, adam), None,
-                                          length=cfg.pose_refine_iters)
+            (deltas, _), _ = jax.lax.scan(seg_body, (deltas, adam), None,
+                                          length=n_seg)
             new_w2c = se3_delta_to_matrix(deltas["t"], deltas["r"]) @ w2c
 
             # return-args pass (:286-326): scale-corrected gt depth + world
@@ -214,14 +232,17 @@ class MappingBackend:
         # device's shard under parallel/mapping.make_parallel_optimize —
         # the view count comes from images.shape[0], not the config).
         def window_loss_raw(params, pose_deltas, exposure, alive, images,
-                            depths_gt, w2c_base, weights, optimize_pose):
+                            depths_gt, w2c_base, weights, optimize_pose,
+                            bins=None):
             def per_view(i):
                 td = pose_deltas["t"][i] if optimize_pose else jnp.zeros(3)
                 rd = pose_deltas["r"][i] if optimize_pose else jnp.zeros(3)
                 probe = jnp.zeros((params["xyz"].shape[0], 2))
+                vbins = (None if bins is None
+                         else (bins[0][i], bins[1][i]))
                 out = render_view(params, alive, w2c_base[i], K4, rcfg,
                                   trans_delta=td, rot_delta=rd,
-                                  means2d_probe=probe)
+                                  means2d_probe=probe, bins=vbins)
                 img = out["color"]
                 if cfg.compensate_exposure:
                     img = img @ exposure["a"][i] + exposure["b"][i]
@@ -258,14 +279,18 @@ class MappingBackend:
             return total, (radii, vis)
 
         def window_loss(params, pose_deltas, exposure, alive, images,
-                        depths_gt, w2c_base, weights, optimize_pose):
+                        depths_gt, w2c_base, weights, optimize_pose,
+                        bins=None):
             total, aux = window_loss_raw(params, pose_deltas, exposure,
                                          alive, images, depths_gt,
-                                         w2c_base, weights, optimize_pose)
+                                         w2c_base, weights, optimize_pose,
+                                         bins=bins)
             return total / jnp.maximum(weights.sum(), 1.0), aux
 
         # exposed for parallel/mapping.make_parallel_optimize
         self._window_loss_raw = window_loss_raw
+        self._bin_window = lambda params, alive, w2c: jax.lax.map(
+            lambda w: bin_view(params, alive, w, K4, rcfg), w2c)
 
         def optimize(arena: GaussianArena, adam, cams: CameraBuffer,
                      window_idx, weights, iters: int, optimize_pose: bool,
@@ -293,12 +318,20 @@ class MappingBackend:
             lrs_pd = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
             lrs_ex = {"a": cfg.exposure_lr, "b": cfg.exposure_lr}
 
+            # ONE binning per view per SEGMENT (this whole jit is one
+            # segment of `iters` iterations): the tile sort is ~20% of a
+            # render, and with jax.checkpoint around per_view it used to
+            # run twice per view per iteration. Cached bins enter the
+            # remat region as saved residuals, not recomputed values.
+            bins = jax.lax.map(
+                lambda w: bin_view(params, arena.alive, w, K4, rcfg), w2c)
+
             def step(carry, _):
                 params, adam, pose_deltas, pd_adam, exposure, ex_adam, w2c = carry
                 (loss, _aux), grads = jax.value_and_grad(
                     window_loss, argnums=(0, 1, 2), has_aux=True)(
                     params, pose_deltas, exposure, arena.alive, images,
-                    depths_gt, w2c, weights, optimize_pose)
+                    depths_gt, w2c, weights, optimize_pose, bins)
                 gp, gd, ge = grads
                 gp = _mask_grads(gp, arena.alive)
                 params, adam = _adam_step(params, gp, adam, self._lrs())
@@ -492,6 +525,18 @@ class MappingBackend:
     # ==================================================================
     # host orchestration
     # ==================================================================
+    def reset_state(self):
+        """Fresh arena/cams/optimizer state, SAME jitted closures —
+        lets a benchmark (or a second sequence) rerun the exact compiled
+        programs with zero retracing."""
+        self.arena = GaussianArena.empty(self.cfg.capacity)
+        self.adam = _adam_init(self.arena.params())
+        self.cams = CameraBuffer.empty(self.cfg.cam_capacity,
+                                       self.cfg.height, self.cfg.width)
+        self.current_window = []
+        self.initialized = False
+        self._rng = jax.random.PRNGKey(0)
+
     def add_keyframe(self, idx: int, image_u8: np.ndarray, depth: np.ndarray,
                      w2c: np.ndarray):
         self.cams = self.cams.add(idx, jnp.asarray(image_u8),

@@ -13,12 +13,12 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.gs_raster import RasterizeConfig, rasterize
+from ..ops.gs_raster import RasterizeConfig, rasterize, compute_bins
 from ..geometry.quaternion import (matrix_to_quat, xyzw_to_wxyz)
 from .camera import se3_delta_to_matrix
 from .gaussian_map import SH2RGB
 
-__all__ = ["render_view", "transform_to_frame"]
+__all__ = ["render_view", "transform_to_frame", "bin_view"]
 
 
 def _quat_mult_wxyz(q1, q2):
@@ -53,11 +53,14 @@ def render_view(params: Dict[str, jax.Array], alive: jax.Array,
                 trans_delta: Optional[jax.Array] = None,
                 rot_delta: Optional[jax.Array] = None,
                 bg: Optional[jax.Array] = None,
-                means2d_probe: Optional[jax.Array] = None):
+                means2d_probe: Optional[jax.Array] = None,
+                bins=None):
     """Render one view from arena params + camera (+ optional pose deltas).
 
     Dead arena slots render with zero opacity (they cost compute but keep
-    shapes static — the TPU trade).
+    shapes static — the TPU trade). ``bins``: a cached tile binning from
+    ``bin_view`` — reused across an optimization segment's iterations
+    (the sort is the per-render fixed cost worth amortizing on TPU).
     """
     w2c = w2c_base
     if trans_delta is not None:
@@ -69,7 +72,25 @@ def render_view(params: Dict[str, jax.Array], alive: jax.Array,
         from ..ops.gs_raster_pallas import rasterize_pallas
         return rasterize_pallas(means_cam, quats_cam,
                                 jnp.exp(params["log_scales"]), opac, colors,
-                                K4, cfg, bg=bg, means2d_probe=means2d_probe)
+                                K4, cfg, bg=bg, means2d_probe=means2d_probe,
+                                bins=bins)
     return rasterize(means_cam, quats_cam, jnp.exp(params["log_scales"]),
                      opac, colors, K4, cfg, bg=bg,
-                     means2d_probe=means2d_probe)
+                     means2d_probe=means2d_probe, bins=bins)
+
+
+def bin_view(params: Dict[str, jax.Array], alive: jax.Array,
+             w2c_base: jax.Array, K4: jax.Array, cfg: RasterizeConfig,
+             trans_delta: Optional[jax.Array] = None,
+             rot_delta: Optional[jax.Array] = None):
+    """Tile binning for one view at the CURRENT params/pose — all under
+    stop_gradient (bins are integer tile lists; see
+    ops/gs_raster.compute_bins for the reuse contract)."""
+    w2c = w2c_base
+    if trans_delta is not None:
+        w2c = se3_delta_to_matrix(trans_delta, rot_delta) @ w2c_base
+    means_cam, quats_cam = transform_to_frame(params, w2c)
+    opac = jax.nn.sigmoid(params["opacity_logit"]) * alive.astype(jnp.float32)
+    means_cam, quats_cam, scales, opac = jax.lax.stop_gradient(
+        (means_cam, quats_cam, jnp.exp(params["log_scales"]), opac))
+    return compute_bins(means_cam, quats_cam, scales, opac, K4, cfg)
