@@ -4,28 +4,32 @@ Prints JSON lines as results accumulate; the LAST line printed is the
 final result:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "breakdown": {...}}
 
+HEADLINE SEMANTICS (round-4 honesty fix): ``value`` is the AMORTIZED
+steady-state throughput — total frames / total wall-clock INCLUDING the
+mapping events (pose refine + windowed optimization + global BA), which
+dominate wall time. Compile time is excluded honestly, not by trimming
+outliers: the bench runs the whole frame sequence TWICE through the SAME
+jitted closures (pass 1 warms/compiles every program; `reset_state()`
+then clears all SLAM state while keeping the compiled programs; pass 2
+is the timed run). Nothing in pass 2 can be a fresh XLA compile, so no
+frame is dropped from the average. `fps_tracking_only` (frames without a
+mapping event) and `mapping_event_s` are reported alongside in the
+breakdown — the reference's 16 FPS RTX-4090 number is the same
+amortized-total semantics (Replica room0, 2000 frames in ~2 min,
+/root/reference/README.md:114).
+
 Timeout-proofing (the round-2 bench died rc=124 with zero output):
 - a result line is (re)printed after EVERY timed frame, so an external
   kill at any point still leaves the best-so-far number on stdout;
-- an internal wall-clock budget (BENCH_BUDGET_S, default 18 min) makes
-  the bench skip remaining stages and finish with what it has;
+- an internal wall-clock budget (BENCH_BUDGET_S, default 18 min) cuts
+  the warm-up pass short if compiles eat the budget — the timed pass
+  then replays exactly the frames the warm-up covered;
 - every optional stage (rasterizer micro-bench) is try/except'd.
-
-Baseline: the reference runs Replica room0 (2000 frames) in ~2 min on an
-RTX 4090 (~16 FPS end-to-end, /root/reference/README.md:114). This bench
-drives the FULL pipeline — motion-filter ViT-L encoder, CUT3R submap
-tracking, Gaussian-map pose refine / windowed optimization / global BA —
-on a synthetic sliding-window panorama at the live 512-width resolution
-and reports wall-clock frames/s including everything, plus a per-stage
-breakdown (filter / frontend / mapping) and rasterizer fwd/bwd micro
-timings.
 
 Honesty notes: the model is random-init (no checkpoint in this image), so
 keyframing uses a fixed interval (kf_every=2, denser than the feature-
 overlap filter typically fires) and loop closure does not trigger — both
-make the reported number PESSIMISTIC vs a real run. The reported FPS is
-the median frame time over the steady-state window (or the last 10
-frames if the budget cut the run short); compiles are cached across runs.
+make the reported number PESSIMISTIC vs a real run.
 """
 import json
 import os
@@ -95,10 +99,12 @@ def raster_micro(H, W, on_tpu, use_pallas):
 
     use_pallas mirrors the mapping backend's auto selection
     (MappingConfig.raster_backend='auto' -> Pallas on TPU), so the micro
-    numbers characterize the path mapping actually runs.
+    numbers characterize the path mapping actually runs. Reported both
+    with per-render binning (fwd/bwd) and with cached bins (the mapping
+    optimizer's steady-state path, see gs_raster.compute_bins).
     """
     from cut3r_slam_tpu.ops.gs_raster import RasterizeConfig
-    from cut3r_slam_tpu.slam.renderer import render_view
+    from cut3r_slam_tpu.slam.renderer import render_view, bin_view
     from cut3r_slam_tpu.slam.gaussian_map import GaussianArena
 
     N = 2 ** 17 if on_tpu else 2 ** 12
@@ -124,27 +130,27 @@ def raster_micro(H, W, on_tpu, use_pallas):
     fwd = jax.jit(lambda p: render_view(p, arena.alive, w2c, K4,
                                         rcfg)["color"])
 
-    def loss(p):
-        return render_view(p, arena.alive, w2c, K4, rcfg)["color"].mean()
+    def loss(p, bins):
+        return render_view(p, arena.alive, w2c, K4, rcfg,
+                           bins=bins)["color"].mean()
 
     bwd = jax.jit(jax.grad(loss))
+    mkbins = jax.jit(lambda p: bin_view(p, arena.alive, w2c, K4, rcfg))
 
-    _ = np.asarray(fwd(params))  # compile+sync
-    t0 = time.perf_counter()
-    iters = 10 if on_tpu else 2
-    for _ in range(iters):
-        o = fwd(params)
-    _ = np.asarray(o)
-    t_fwd = (time.perf_counter() - t0) / iters
+    def timed(fn, *args, iters=10 if on_tpu else 2):
+        out = jax.block_until_ready(fn(*args))  # compile+sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
 
-    g = bwd(params)
-    _ = np.asarray(g["xyz"][0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = bwd(params)
-    _ = np.asarray(g["xyz"][0])
-    t_bwd = (time.perf_counter() - t0) / iters
-    return t_fwd, t_bwd
+    t_fwd = timed(fwd, params)
+    t_bwd = timed(bwd, params, None)
+    bins = jax.block_until_ready(mkbins(params))
+    t_bin = timed(mkbins, params)
+    t_bwd_cached = timed(bwd, params, bins)
+    return t_fwd, t_bwd, t_bin, t_bwd_cached
 
 
 def main():
@@ -161,7 +167,7 @@ def main():
     if on_tpu:
         mcfg = CUT3RConfig()              # full cut3r_512_dpt_4_64 arch
         H, W = 384, 512
-        n_frames, warm_frames = 40, 14
+        n_frames = 40
         arena_capacity = 2 ** 17
     else:                                 # CPU smoke mode
         # shapes chosen to MATCH tests/test_e2e_gt_loop.py exactly so the
@@ -170,7 +176,7 @@ def main():
         # box, which is how the round-2 bench died with zero output.
         mcfg = CUT3RConfig.tiny()
         H, W = 32, 48
-        n_frames, warm_frames = 18, 10
+        n_frames = 18
         arena_capacity = 2 ** 11
 
     metric = ("slam_e2e_fps_512x384" if on_tpu else "slam_e2e_fps_tiny_cpu")
@@ -204,63 +210,76 @@ def main():
     frames = synth_frames(n_frames, H, W)
     K4 = np.asarray([0.9 * W, 0.9 * W, W / 2, H / 2], np.float32)
 
-    # One loop doubles as warmup + timed section. After every frame we
-    # recompute a best-so-far FPS (median over the steady-state window if
-    # reached, else the last up-to-10 frames) and RE-EMIT the result line,
-    # so an external timeout at any moment leaves a parsable number.
-    frame_t = []
-    n_done = 0
-    for t in range(n_frames):
-        if t > 2 and remaining() < 30:
-            result["breakdown"]["budget_cut_at_frame"] = t
-            break
-        t0 = time.perf_counter()
-        note(f"frame {t}")
-        slam.run(t, frames[t], K4)
+    def sync():
         # host readback = reliable device sync (axon tunnel ignores
         # block_until_ready)
         _ = np.asarray(slam.keyframes.pts_ds[0, 0, 0])
-        frame_t.append(time.perf_counter() - t0)
-        n_done = t + 1
-        if n_done >= 3:
-            if n_done > warm_frames + 3:
-                window = frame_t[warm_frames:]
-                steady = True
-            else:
-                window = frame_t[-10:]
-                steady = False
-            # value = TRUE throughput over the window (mapping frames
-            # included), like the reference's total-time FPS. Frames that
-            # hit a FRESH XLA/Mosaic compile (>10x the window median —
-            # minutes vs tens of ms; impossible as real work) are
-            # excluded but counted in the breakdown: compiles are cached
-            # across runs, so a fully-warm run has zero such frames and
-            # the trim is a no-op.
-            w = sorted(window)
-            med = float(np.median(w))
-            trimmed = [x for x in w if x <= 10 * med] or w
-            fps = len(trimmed) / float(sum(trimmed))
-            result["breakdown"]["compile_frames_excluded"] = \
-                len(w) - len(trimmed)
+
+    # ---------------- pass 1: warm-up (compiles everything) -----------
+    # Keep at least 25% of the budget for the timed pass; frames beyond
+    # the warm-up cut are dropped from BOTH passes so pass 2 never hits
+    # a fresh compile.
+    warm_t = []
+    n_warm = 0
+    for t in range(n_frames):
+        if t > 2 and remaining() < 0.3 * BUDGET_S:
+            note(f"warm-up cut at frame {t} (budget)")
+            result["breakdown"]["warmup_cut_at_frame"] = t
+            break
+        t0 = time.perf_counter()
+        note(f"warm frame {t}")
+        slam.run(t, frames[t], K4)
+        sync()
+        warm_t.append(time.perf_counter() - t0)
+        n_warm = t + 1
+        if n_warm >= 3:
+            fps_cold = n_warm / sum(warm_t)
+            result["value"] = round(fps_cold, 3)
+            result["vs_baseline"] = round(fps_cold / BASELINE_FPS, 3)
+            result["frames"] = n_warm
+            result["warm_pass"] = False
+            emit(result)
+    result["breakdown"]["warmup_s"] = round(sum(warm_t), 1)
+    result["fps_mean_incl_compiles"] = round(n_warm / sum(warm_t), 3)
+
+    # ---------------- pass 2: timed (fully warm, zero retracing) ------
+    note("reset_state -> timed pass")
+    slam.reset_state()
+    timer.totals.clear()
+    timer.counts.clear()
+    frame_t = []
+    track_t = []
+    map_t = []
+    for t in range(n_warm):
+        if t > 2 and remaining() < 20:
+            result["breakdown"]["timed_cut_at_frame"] = t
+            break
+        t0 = time.perf_counter()
+        note(f"timed frame {t}")
+        _, viz_range = slam.run(t, frames[t], K4)
+        sync()
+        dt = time.perf_counter() - t0
+        frame_t.append(dt)
+        (map_t if viz_range is not None else track_t).append(dt)
+        if len(frame_t) >= 3:
+            fps = len(frame_t) / sum(frame_t)
             result["value"] = round(fps, 3)
             result["vs_baseline"] = round(fps / BASELINE_FPS, 3)
-            result["frames"] = len(window)
-            result["steady_state"] = steady
-            result["breakdown"]["fps_median"] = round(
-                1.0 / float(np.median(window)), 3)
-            result["breakdown"]["max_frame_s"] = round(float(w[-1]), 3)
+            result["frames"] = len(frame_t)
+            result["warm_pass"] = True
+            result["steady_state"] = True
+            bd = result["breakdown"]
+            bd["n_mapping_events"] = len(map_t)
+            if map_t:
+                bd["mapping_event_s_mean"] = round(float(np.mean(map_t)), 2)
+            if track_t:
+                bd["fps_tracking_only"] = round(
+                    1.0 / float(np.median(track_t)), 2)
             emit(result)
-        if t == warm_frames - 1:
-            timer.totals.clear()
-            timer.counts.clear()
 
     stage = timer.summary()
     result["breakdown"].update(
         {k: v["mean_ms"] for k, v in stage.items()})
-    if n_done > warm_frames:
-        dt = sum(frame_t[warm_frames:n_done])
-        result["fps_mean_incl_compiles"] = round(
-            (n_done - warm_frames) / dt, 3)
     emit(result)
 
     # rasterizer micro-bench on the SAME backend mapping auto-selects
@@ -272,9 +291,13 @@ def main():
                 f.default for f in dataclasses.fields(MappingConfig)
                 if f.name == "raster_backend")
             use_pallas = on_tpu and default_backend in ("auto", "pallas")
-            t_fwd, t_bwd = raster_micro(H, W, on_tpu, use_pallas)
+            t_fwd, t_bwd, t_bin, t_bwd_c = raster_micro(
+                H, W, on_tpu, use_pallas)
             result["breakdown"]["raster_fwd_ms"] = round(t_fwd * 1e3, 3)
             result["breakdown"]["raster_bwd_ms"] = round(t_bwd * 1e3, 3)
+            result["breakdown"]["raster_bin_ms"] = round(t_bin * 1e3, 3)
+            result["breakdown"]["raster_bwd_cached_bins_ms"] = round(
+                t_bwd_c * 1e3, 3)
             result["breakdown"]["raster_backend"] = (
                 "pallas" if use_pallas else "xla")
         except Exception as e:  # never lose the e2e number to the micro

@@ -72,12 +72,14 @@ class SLAMSystem:
         # ScanNet config's Tracking.pgba section
         pgba_cfg = tcfg.get("pgba", {})
         self.pgba = None
+        self._pgba_args = None
         if bool(pgba_cfg.get("active", False)):
             from .sim3_pgo import PGBABuffer
-            self.pgba = PGBABuffer(
+            self._pgba_args = dict(
                 loop_weight=float(pgba_cfg.get("loop_weight", 2.0)),
                 iters=int(pgba_cfg.get("iters", 6)),
                 conf_weighting=bool(pgba_cfg.get("conf_weighting", False)))
+            self.pgba = PGBABuffer(**self._pgba_args)
 
         self.mapper: Optional[MappingBackend] = None
         self.enable_mapping = enable_mapping
@@ -198,6 +200,41 @@ class SLAMSystem:
         self.mapper = MappingBackend(
             MappingConfig(height=mh, width=mw, **self._map_cfg_extra),
             np.asarray(K4_map, np.float32), mesh=mesh)
+
+    def reset_state(self):
+        """Reset every piece of mutable SLAM state while KEEPING all
+        jitted closures, so a second sequence (bench.py's warm timing
+        pass) reruns the exact compiled programs with zero retracing."""
+        kf_old = self.keyframes
+        new_kf = KeyframeStore(kf_old.capacity, kf_old.img_hw,
+                               int(kf_old.featI.shape[1]),
+                               int(kf_old.featI.shape[2]),
+                               map_hw=kf_old.map_hw)
+        if self.filter.prior is not None:
+            new_kf.ensure_prior_buffers()
+        self.keyframes = new_kf
+        self.filter.keyframes = new_kf
+        self.frontend.keyframes = new_kf
+        self.backend.kf = new_kf
+        self.graph = FactorGraph()
+        self.frontend.graph = self.graph
+        self.backend.graph = self.graph
+        self.frontend.is_initialized = False
+        self.frontend.t1 = 0
+        if getattr(self, "_gt_store", None) is not None:
+            self._gt_store.clear()
+        self.backend.freeze_counter = 0
+        self.backend.closed = []
+        self.backend.closed_loop = {"idx_current": [], "idx_matched": [],
+                                    "lc_fl": []}
+        if self._pgba_args is not None:
+            from .sim3_pgo import PGBABuffer
+            self.pgba = PGBABuffer(**self._pgba_args)
+        if self.mapper is not None:
+            self.mapper.reset_state()
+        from ..utils.image import CompressedFrameStore
+        self.images = CompressedFrameStore()
+        self.last_t = -1
 
     def run(self, t: int, img: np.ndarray, K4: np.ndarray,
             img_map: Optional[np.ndarray] = None,
