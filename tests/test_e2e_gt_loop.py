@@ -17,6 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: ~10 min on the 1-core box
+
 from cut3r_slam_tpu.models import CUT3R, CUT3RConfig
 from cut3r_slam_tpu.slam.system import SLAMSystem
 from cut3r_slam_tpu.slam.keyframe import SUBMAP_SIZE
@@ -194,9 +196,10 @@ class TestPGBAConfAblation:
     the outcome (a documented negative result is acceptable — on this
     synthetic scene conf maps are uniform, so weights only rescale)."""
 
-    def test_conf_weighting_ablation(self):
-        slam_b, gt_b, _ = _run_system(enable_loop=True, pgba=True,
-                                      conf_weighting=False)
+    def test_conf_weighting_ablation(self, loop_run):
+        # the unweighted baseline IS loop_run's config — reuse it rather
+        # than paying a fifth full 58-frame system run
+        slam_b, gt_b, _ = loop_run
         slam_c, gt_c, _ = _run_system(enable_loop=True, pgba=True,
                                       conf_weighting=True)
         ate_b = _ate(slam_b, gt_b)
