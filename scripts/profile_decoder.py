@@ -50,15 +50,25 @@ def timed(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def flops_of(jitted, *args):
+def compile_once(jitted, *args):
+    """Lower+compile FIRST and return (callable-executable, flops).
+
+    ADVICE r3: calling .lower().compile() after timed() doubled the
+    multi-minute compile work on a cold cache; compiling once up front
+    and timing the returned executable shares the work. flops is None
+    (not 0) when cost_analysis lacks the key, so a missing model is
+    distinguishable from an idle chip in the committed table."""
+    c = jitted.lower(*args).compile()
+    flops = None
     try:
-        c = jitted.lower(*args).compile()
         ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        if ca and "flops" in ca:
+            flops = float(ca["flops"])
     except Exception:
-        return 0.0
+        pass
+    return c, flops
 
 
 def main():
@@ -78,8 +88,8 @@ def main():
         -1, 1, (1, H, W, 3)), jnp.float32)
     enc = jax.jit(lambda p, x: model.apply(p, x,
                                            method=CUT3R.encode_image))
-    t_enc = timed(enc, params, img)
-    f_enc = flops_of(enc, params, img)
+    enc_c, f_enc = compile_once(enc, params, img)
+    t_enc = timed(enc_c, params, img)
 
     # --- V=6 submap decode from stored tokens (frontend._infer body) ---
     feat = jnp.asarray(np.random.default_rng(1).normal(
@@ -93,11 +103,13 @@ def main():
                              head_outputs=("self", "pose"))
         return out["pts3d_in_self_view"], out["camera_pose"]
 
-    t_dec = timed(dec, params, feat)
-    f_dec = flops_of(dec, params, feat)
+    dec_c, f_dec = compile_once(dec, params, feat)
+    t_dec = timed(dec_c, params, feat)
 
     def mfu(flops, ms):
-        return flops / (ms * 1e-3) / (PEAK_TFLOPS * 1e12) if ms else 0.0
+        if flops is None or not ms:
+            return None  # 'flops unavailable' != idle chip
+        return flops / (ms * 1e-3) / (PEAK_TFLOPS * 1e12)
 
     rows = [
         ("encoder_b1", t_enc, f_enc, mfu(f_enc, t_enc)),
@@ -105,14 +117,18 @@ def main():
     ]
     print(f"{'program':<20}{'ms':>10}{'GFLOP':>12}{'MFU':>8}")
     for name, ms, fl, u in rows:
-        print(f"{name:<20}{ms:>10.2f}{fl / 1e9:>12.1f}{u:>8.1%}")
+        gf = "n/a" if fl is None else f"{fl / 1e9:.1f}"
+        uu = "n/a" if u is None else f"{u:.1%}"
+        print(f"{name:<20}{ms:>10.2f}{gf:>12}{uu:>8}")
     print(json.dumps({
         "backend": jax.default_backend(),
         "peak_tflops": PEAK_TFLOPS,
         "encoder_b1_ms": round(t_enc, 2),
-        "encoder_b1_mfu": round(mfu(f_enc, t_enc), 4),
+        "encoder_b1_mfu": (None if mfu(f_enc, t_enc) is None
+                           else round(mfu(f_enc, t_enc), 4)),
         "decode_submap_v6_ms": round(t_dec, 2),
-        "decode_submap_v6_mfu": round(mfu(f_dec, t_dec), 4),
+        "decode_submap_v6_mfu": (None if mfu(f_dec, t_dec) is None
+                                 else round(mfu(f_dec, t_dec), 4)),
     }), flush=True)
 
 
