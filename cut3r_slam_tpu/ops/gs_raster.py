@@ -42,6 +42,16 @@ __all__ = ["RasterizeConfig", "rasterize", "compute_bins",
 
 TILE = 16
 ALPHA_MIN = 1.0 / 255.0
+# Median-depth selection threshold (CUDA forward.cu:596-603 tests
+# T > 0.5 with T the transmittance BEFORE the entry's contribution).
+# The +1e-4 bias makes the XLA and Pallas backends agree on ties: alpha
+# values like 0.5 produce Tb == 0.5 EXACTLY under the XLA cumprod but
+# 0.5 +- 1e-8 under the Pallas log-space scan, flipping `> 0.5` between
+# backends and selecting different contributors (mdepth divergence up
+# to the inter-Gaussian depth gap). Any true Tb within 1e-4 of the
+# biased threshold remains ambiguous, but that set is measure-zero in
+# real scenes while exact-0.5 ties are common (sigmoid(0) opacities).
+MEDIAN_T_THRESH = 0.5 + 1e-4
 T_MIN = 1e-4
 NORMALIZE_EPS = 1e-6
 
@@ -442,7 +452,7 @@ def _blend_tiles(pre, colors, entry_gauss, entry_mask, bg, cfg: RasterizeConfig)
         # later ones contribute), so the index must be a masked max of
         # iota — sum(bm)-1 picks the wrong entry and its error depends
         # on the chunk size (which differs from the Pallas path).
-        bm = (Tb > 0.5) & contrib
+        bm = (Tb > MEDIAN_T_THRESH) & contrib
         iota_e = jax.lax.broadcasted_iota(jnp.int32, bm.shape, bm.ndim - 1)
         idx = jnp.max(jnp.where(bm, iota_e, -1), axis=-1)  # (tiles, px)
         has = idx >= 0

@@ -17,11 +17,13 @@ coordinates built in-kernel from an iota (local coords keep the f32
 cancellation error ~1e-4 and need no basis-plane DMA). log(opacity) and
 the entry validity mask fold into q0. Channel accumulation (color,
 normal, alpha-weight) is one (16 x C) @ (C x PX) MXU contraction per
-chunk. Transmittance is a log-space prefix sum computed with a
+chunk. Transmittance is a LINEAR-SPACE prefix product computed with a
 Hillis-Steele doubling scan of sublane `pltpu.roll`s — O(C log C) VPU
-adds instead of the previous (C x C) triangular matmuls, which at
+multiplies instead of the previous (C x C) triangular matmuls, which at
 f32-HIGHEST were 6-pass MXU ops at 6% utilization and dominated the
-kernel. Chunk loops are bounded by the batch's max entry count
+kernel. (An earlier log-space sum variant matched XLA's cumprod only to
+~1e-5, flipping the median-depth selector near ties; the linear-space
+product agrees to a few ulps and drops the log/exp transcendentals.) Chunk loops are bounded by the batch's max entry count
 (scalar-prefetched) and exit early when every pixel's transmittance is
 exhausted.
 
@@ -57,7 +59,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gs_raster import (RasterizeConfig, TILE, ALPHA_MIN, T_MIN,
-                        NORMALIZE_EPS, _preprocess, _bin_gaussians, _untile)
+                        MEDIAN_T_THRESH, NORMALIZE_EPS, _preprocess,
+                        _bin_gaussians, _untile)
 
 __all__ = ["rasterize_pallas_forward", "rasterize_pallas"]
 
@@ -81,6 +84,22 @@ def _prefix_inclusive(x):
     d = 1
     while d < C:
         x = x + jnp.where(iota >= d, pltpu.roll(x, d, axis=1), 0.0)
+        d *= 2
+    return x
+
+
+def _prefix_prod_inclusive(x):
+    """Inclusive prefix PRODUCT along the entry axis — the multiplicative
+    Hillis-Steele twin of _prefix_inclusive. Keeping the transmittance
+    chain in linear space (like XLA's cumprod, differing only in
+    association order) instead of exp(sum of logs) keeps the two
+    backends within a few ulps of each other near the median-depth
+    threshold, and drops the log/exp transcendentals from the kernel."""
+    C = x.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < C:
+        x = x * jnp.where(iota >= d, pltpu.roll(x, d, axis=1), 1.0)
         d *= 2
     return x
 
@@ -114,21 +133,18 @@ def _chunk_blend(A, T_in):
     # which the 0.99 clamp bounds, and the bwd `gate` zeroes their grads.
     ok = alpha_c >= ALPHA_MIN
     alpha0 = jnp.where(ok, alpha_c, 0.0)
-    log1m0 = jnp.log(jnp.maximum(1.0 - alpha0, 1e-20))
-    inc0 = _prefix_inclusive(log1m0)
-    ps0 = inc0 - log1m0                      # strict prefix
-    # early-termination test entirely in log space (no exp for Tb0):
-    # Tb0*(1-alpha0) < T_MIN  <=>  log T_in + ps0 + log1m0 < log T_MIN
-    lT = jnp.log(jnp.maximum(T_in, 1e-30))
-    viol = ((lT + inc0) < jnp.float32(jnp.log(T_MIN))).astype(jnp.float32)
+    one_m0 = 1.0 - alpha0                    # >= 0.01 (0.99 alpha clamp)
+    inc0 = _prefix_prod_inclusive(one_m0)
+    # early termination: entry kept only while T_in * prod_{<=i} >= T_MIN;
+    # once tripped the pixel stays done for all later entries
+    viol = ((T_in * inc0) < jnp.float32(T_MIN)).astype(jnp.float32)
     keep = (_prefix_inclusive(viol) < 0.5).astype(jnp.float32)
     alpha = alpha0 * keep
-    # keep is 0/1, so log(1 - alpha0*keep) == keep * log(1 - alpha0)
-    log1m = log1m0 * keep
-    inc = _prefix_inclusive(log1m)
-    Tb = T_in * jnp.exp(inc - log1m)
+    one_m = 1.0 - alpha
+    inc = _prefix_prod_inclusive(one_m)
+    Tb = T_in * inc / one_m                  # strict prefix product
     aT = alpha * Tb
-    T_out = T_in * jnp.exp(inc[:, -1:, :])
+    T_out = T_in * inc[:, -1:, :]
     return dict(A=A, alpha_raw=alpha_raw, alpha=alpha, Tb=Tb, aT=aT,
                 t_all=t_all, T_out=T_out,
                 gate=jnp.where(ok & (alpha_raw < 0.99), keep, 0.0))
@@ -160,9 +176,11 @@ def _blend_fwd_kernel(cnt_ref, a_ref,
                                  precision=_PREC)
         dsum = dsum + jnp.sum(aT * t_all, axis=1, keepdims=True)
 
-        # median: LAST entry with Tb > 0.5 that contributes — masked max
-        # of iota (bm is NOT prefix-contiguous; see gs_raster.py note)
-        bm = (v["Tb"] > 0.5) & (aT > 0.0)
+        # median: LAST entry with Tb above the biased threshold that
+        # contributes — masked max of iota (bm is NOT prefix-contiguous;
+        # see gs_raster.py note; threshold bias makes ties agree with
+        # the XLA backend, see MEDIAN_T_THRESH)
+        bm = (v["Tb"] > MEDIAN_T_THRESH) & (aT > 0.0)
         iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
         idx = jnp.max(jnp.where(bm, iota, -1), axis=1, keepdims=True)
         has = idx >= 0
@@ -213,7 +231,7 @@ def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
         ci, (T, tot_ab, last_chunk) = state
         v = with_b(ci, T)
         tot_ab = tot_ab + jnp.sum(v["aT"] * v["b"], axis=1, keepdims=True)
-        bm = (v["Tb"] > 0.5) & (v["aT"] > 0.0)
+        bm = (v["Tb"] > MEDIAN_T_THRESH) & (v["aT"] > 0.0)
         has = jnp.any(bm, axis=1, keepdims=True)
         last_chunk = jnp.where(has, ci, last_chunk)
         return ci + 1, (v["T_out"], tot_ab, last_chunk)
@@ -245,7 +263,7 @@ def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
         ab_inc = pre_ab + _prefix_inclusive(ab)
         S = tot_ab - ab_inc  # suffix sum over later entries
         dalpha = v["Tb"] * v["b"] - (S + gTT) / (1.0 - v["alpha"])
-        bm = (v["Tb"] > 0.5) & (v["aT"] > 0.0)
+        bm = (v["Tb"] > MEDIAN_T_THRESH) & (v["aT"] > 0.0)
         # median grad target mirrors the forward's masked-max selection
         iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
         local_idx = jnp.max(jnp.where(bm, iota, -1), axis=1,

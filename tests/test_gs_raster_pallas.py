@@ -43,6 +43,30 @@ def test_pallas_matches_xla_forward():
                                np.asarray(ref["normal"]), atol=1e-3)
 
 
+def test_pallas_mdepth_tie_breaking():
+    """Exact transmittance ties (alpha = sigmoid(0) = 0.5 stacks) must
+    select the SAME median contributor in both backends: the XLA cumprod
+    yields Tb == 0.5 exactly while the log-space scan yields 0.5 +- 1e-8,
+    so an unbiased `> 0.5` test flips between them (VERDICT r3 #7).
+    MEDIAN_T_THRESH's 1e-4 bias makes both exclude the tied entry."""
+    n = 12
+    # identical stacked Gaussians at staggered depths covering the frame
+    means = jnp.asarray(np.stack([
+        np.zeros(n), np.zeros(n), np.linspace(1.0, 2.0, n)], -1),
+        jnp.float32)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n, 1))
+    scales = jnp.full((n, 3), 0.8, jnp.float32)
+    opac = jnp.full((n,), 0.5, jnp.float32)  # exact-0.5 alpha ties
+    colors = jnp.asarray(RNG.uniform(0, 1, (n, 3)), jnp.float32)
+    ref = rasterize(means, quats, scales, opac, colors, K4, CFG)
+    out = rasterize_pallas_forward(means, quats, scales, opac, colors,
+                                   K4, CFG, interpret=True)
+    md_r = np.asarray(ref["mdepth"])
+    md_p = np.asarray(out["mdepth"])
+    assert (md_r > 0).any()  # the scene actually exercises the selector
+    np.testing.assert_allclose(md_p, md_r, atol=1e-3)
+
+
 def test_pallas_background():
     means, quats, scales, opac, colors = _scene(5)
     bg = jnp.asarray([0.1, 0.2, 0.3])
@@ -127,9 +151,10 @@ def test_pallas_compiled_on_tpu_matches_xla():
     bench-like load. Verified interactively on a v5 chip (fwd 19 ms /
     bwd 32 ms Pallas vs 22 / 44 ms XLA at 2^14 Gaussians, 256x256);
     tolerances account for the TPU's transcendental approximations.
-    mdepth is excluded: it is a discontinuous selector (last entry with
-    T>0.5) and boundary ties flip under exp rounding — export-only, no
-    loss consumes it."""
+    mdepth is included since MEDIAN_T_THRESH's tie bias (VERDICT r3 #7):
+    the selector (last entry with Tb above threshold) now agrees between
+    the XLA cumprod and the Pallas log-space scan even on exact-0.5
+    transmittance ties."""
     import jax
     dev = jax.devices("tpu")[0]
     n = 4096
@@ -149,7 +174,7 @@ def test_pallas_compiled_on_tpu_matches_xla():
     out_p = rasterize_pallas(*args, cfg, interpret=False)
     out_x = rasterize(*args, cfg)
     for k, tol in (("color", 1e-2), ("alpha", 1e-2), ("depth", 2e-2),
-                   ("normal", 1e-2)):
+                   ("mdepth", 1e-3), ("normal", 1e-2)):
         np.testing.assert_allclose(np.asarray(out_p[k]),
                                    np.asarray(out_x[k]), atol=tol)
 
