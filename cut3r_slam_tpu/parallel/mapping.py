@@ -53,7 +53,85 @@ except ImportError:  # older experimental location
         return _shard_map_exp(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs, check_rep=False)
 
-__all__ = ["make_parallel_optimize"]
+__all__ = ["make_parallel_optimize", "make_parallel_gba_batch",
+           "make_parallel_pose_refine"]
+
+
+def make_parallel_gba_batch(backend, mesh, axis: str = "mv"):
+    """Mesh-parallel drop-in for ``MappingBackend._gba_batch`` (the
+    per-iteration view batch of the global BA, VERDICT r3 #3): the view
+    axis of the batch shards over ``axis``, each device renders + grads
+    its local views, and the Gaussian-space reductions (summed grads,
+    summed densification stats, max radii) ride ONE psum/pmax over ICI.
+    Per-view outputs (losses, pose/exposure grads, w2c rows) stay
+    sharded and concatenate back at the out_specs boundary. Exact same
+    math as the sequential lax.map — the batch mean is associative —
+    verified in tests/test_parallel_mapping.py.
+
+    The host guarantees the batch size is a device multiple
+    (MappingBackend.global_ba rounds gba_views_per_iter).
+    """
+    seq_batch = backend._gba_batch
+
+    def local(params, alive, images_u8, depths, w2c_all, expa_all,
+              expb_all, vi_local):
+        (losses, gp_sum, ga_c, den_c, mr_c, gpes, w2cs) = seq_batch(
+            params, alive, images_u8, depths, w2c_all, expa_all,
+            expb_all, vi_local)
+        gp_sum = jax.tree.map(lambda g: jax.lax.psum(g, axis), gp_sum)
+        ga_c = jax.lax.psum(ga_c, axis)
+        den_c = jax.lax.psum(den_c, axis)
+        mr_c = jax.lax.pmax(mr_c, axis)
+        return losses, gp_sum, ga_c, den_c, mr_c, gpes, w2cs
+
+    def gba_batch(params, alive, images_u8, depths, w2c_all, expa_all,
+                  expb_all, vi_batch):
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis)),
+            out_specs=(P(axis), P(), P(), P(), P(), P(axis), P(axis)))
+        return fn(params, alive, images_u8, depths, w2c_all, expa_all,
+                  expb_all, vi_batch)
+
+    return gba_batch
+
+
+def make_parallel_pose_refine(backend, mesh, axis: str = "mv"):
+    """Mesh-parallel drop-in for ``MappingBackend._pose_refine_batch``:
+    a submap's new keyframes are INDEPENDENT single-view pose problems
+    (no shared state is written during refinement), so the view axis
+    shards over ``axis`` with params/alive replicated and ZERO
+    collectives — pure data parallelism over ICI-free local work. Views
+    pad to a device multiple by repeating view 0 (padded outputs are
+    sliced off)."""
+    inner = backend._pose_refine_impl
+    n_dev = dict(mesh.shape)[axis]
+
+    def local(params, alive, images, depth_gts, w2cs):
+        return jax.lax.map(lambda xs: inner(params, alive, *xs),
+                           (images, depth_gts, w2cs))
+
+    @jax.jit
+    def batch(params, alive, images, depth_gts, w2cs):
+        V = images.shape[0]
+        V_pad = -(-V // n_dev) * n_dev
+
+        def _padv(x):
+            if x.shape[0] == V_pad:
+                return x
+            reps = jnp.broadcast_to(x[:1],
+                                    (V_pad - x.shape[0],) + x.shape[1:])
+            return jnp.concatenate([x, reps], axis=0)
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            out_specs=P(axis))
+        outs = fn(params, alive, _padv(images), _padv(depth_gts),
+                  _padv(w2cs))
+        return jax.tree.map(lambda x: x[:V], outs)
+
+    return batch
 
 
 def make_parallel_optimize(backend, mesh, axis: str = "mv"):

@@ -74,6 +74,19 @@ class MappingConfig:
     new_view_opt_iters: int = 50  # single-view polish of the newest KF
     gba_per_view: int = 10        # global_BA iters = gba_per_view * n_views
     alpha_th: float = 0.5
+    # global-BA batching: each solver iteration renders this many random
+    # views and applies ONE Adam step on the MEAN Gaussian gradient
+    # (poses/exposures update per-view). 1 = the reference's
+    # one-view-per-iteration semantics; >1 trades per-view Adam steps
+    # for batch parallelism — under a mesh with an `mv` axis the views
+    # of an iteration are sharded across devices (parallel/mapping.py).
+    gba_views_per_iter: int = 1
+    # batch the pose refinement of a submap's new keyframes into one
+    # program (vmapped single-view problems; sharded over `mv` under a
+    # mesh). False = the reference's sequential chain, where each new
+    # KF's initial pose chains through the previous REFINED pose and a
+    # window optimization runs between consecutive refines.
+    parallel_kf_refine: bool = False
     downsample: int = 2
     max_per_tile: int = 512
     kernel_size: float = 0.1
@@ -135,8 +148,12 @@ class MappingBackend:
         self._rng = jax.random.PRNGKey(0)
         self._build_jits()
         if mesh is not None and dict(mesh.shape).get("mv", 1) > 1:
-            from ..parallel.mapping import make_parallel_optimize
+            from ..parallel.mapping import (make_parallel_optimize,
+                                            make_parallel_gba_batch,
+                                            make_parallel_pose_refine)
             self._optimize = make_parallel_optimize(self, mesh)
+            self._gba_batch = make_parallel_gba_batch(self, mesh)
+            self._pose_refine_batch = make_parallel_pose_refine(self, mesh)
 
     # ------------------------------------------------------------------
     def _lrs(self):
@@ -225,6 +242,20 @@ class MappingBackend:
             return new_w2c, gt_scaled, pointmap, valid
 
         self._pose_refine = jax.jit(pose_refine)
+        self._pose_refine_impl = pose_refine  # un-jitted, for overrides
+
+        # batched over views (VERDICT r3 #3): a submap's new keyframes
+        # are independent single-view problems once their initial poses
+        # are fixed — one program refines them all. lax.map (not vmap)
+        # keeps the Pallas kernel out of vmap batching; the mesh
+        # override shards the view axis instead
+        # (parallel/mapping.make_parallel_pose_refine).
+        def pose_refine_batch(params, alive, images, depth_gts, w2cs):
+            return jax.lax.map(
+                lambda xs: pose_refine(params, alive, *xs),
+                (images, depth_gts, w2cs))
+
+        self._pose_refine_batch = jax.jit(pose_refine_batch)
 
         # ------------------------- mapping window ----------------------
         # window_loss_raw: UNNORMALIZED weighted sum over however many
@@ -367,12 +398,88 @@ class MappingBackend:
         # and exposure (keyframe_optimizers + update_pose each iteration),
         # not just the Gaussians. Per-view Adam moments live in fixed
         # (cam_capacity, ...) buffers gathered/scattered at the view index.
+        #
+        # Batched (VERDICT r3 #3): each iteration consumes a ROW of
+        # view_idx (seg, k) — k distinct random views whose Gaussian
+        # gradients reduce to ONE mean Adam step while poses/exposures
+        # update per-view. k=1 is the reference's one-view-per-iteration
+        # loop. The per-view pass lives in self._gba_batch so a device
+        # mesh can shard the batch axis (parallel/mapping.make_parallel_
+        # gba_batch: lax.map here -> shard_map + psum there).
+        def gba_view_loss(params, alive, probe, pe, image, depth_gt, w2c):
+            out = render_view(params, alive, w2c, K4, rcfg,
+                              trans_delta=pe["t"], rot_delta=pe["r"],
+                              means2d_probe=probe)
+            img = out["color"] @ pe["a"] + pe["b"]
+            d = out["depth"]
+            rgb_l = 0.8 * jnp.abs(image - img).mean() \
+                + 0.2 * (1 - ssim(img, image))
+            dmask = jax.lax.stop_gradient((depth_gt > 1e-3) & (d > 1e-3))
+            inv_d = jnp.where(dmask, 1.0 / jnp.maximum(d, 1e-6)
+                              - 1.0 / jnp.maximum(depth_gt, 1e-6), 0.0)
+            depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
+            dn = depth_to_normal(d, K4)
+            gdn = depth_to_normal(depth_gt, K4)
+            norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
+                / jnp.maximum(dmask.sum(), 1.0)
+            rn = out["normal"]
+            rn_l = ((1 - (rn * gdn).sum(-1)) * dmask).sum() \
+                / jnp.maximum(dmask.sum(), 1.0)
+            scales = jnp.exp(params["log_scales"])
+            vis = out["visibility"]
+            iso = (jnp.abs(scales - scales.mean(1, keepdims=True)
+                           ).mean(1) * vis).sum() \
+                / jnp.maximum(vis.sum(), 1.0)
+            loss = (rgb_l + cfg.lambda_depth / 10 * depth_l
+                    + cfg.lambda_normal * (norm_l + rn_l)
+                    + cfg.lambda_iso * iso)
+            return loss, (out["radii"], vis)
+
+        def gba_batch_grads(params, alive, images_u8, depths, w2c_all,
+                            expa_all, expb_all, vi_batch):
+            """Per-view losses/grads for a batch of view indices, with
+            the Gaussian-space quantities already REDUCED over the batch
+            (sum for grads/stats, max for radii) so the mesh-parallel
+            override only has to psum them. Returns
+            (losses (k,), gp_sum tree, ga_c (P,), den_c (P,), mr_c (P,),
+             gpes (k, ...) tree, w2cs (k, 4, 4))."""
+
+            def one(vi):
+                image = images_u8[vi].astype(jnp.float32) / 255.0
+                depth_gt = depths[vi].astype(jnp.float32)
+                w2c = w2c_all[vi]
+                pose_exp = {"t": jnp.zeros(3), "r": jnp.zeros(3),
+                            "a": expa_all[vi], "b": expb_all[vi]}
+                probe = jnp.zeros((params["xyz"].shape[0], 2))
+                (loss, (radii, vis)), (gp, gprobe, gpe) = jax.value_and_grad(
+                    gba_view_loss, argnums=(0, 2, 3), has_aux=True)(
+                    params, alive, probe, pose_exp, image, depth_gt, w2c)
+                gp = _mask_grads(gp, alive)
+                gprobe = jnp.where(alive[:, None], gprobe, 0.0)
+                # densification stats (gaussian_model.py:779-783); the
+                # probe grad xy-norm feeds grad_accum, its magnitude
+                # also feeds the abs channel (z-components unused in our
+                # rasterizer: both use the screen-space grad norm)
+                gnorm = jnp.sqrt(jnp.sum(gprobe * gprobe, -1) + 1e-24)
+                ga_c = jnp.where(vis, gnorm, 0.0)
+                mr_c = jnp.where(vis, radii, 0.0)
+                return loss, gp, ga_c, vis.astype(jnp.float32), mr_c, gpe, w2c
+
+            losses, gps, ga_cs, viss, mr_cs, gpes, w2cs = \
+                jax.lax.map(one, vi_batch)
+            gp_sum = jax.tree.map(lambda g: g.sum(0), gps)
+            return (losses, gp_sum, ga_cs.sum(0), viss.sum(0),
+                    mr_cs.max(0), gpes, w2cs)
+
+        self._gba_batch = gba_batch_grads
+
         def gba_segment(arena: GaussianArena, adam, cams: CameraBuffer,
                         view_idx, rng):
             params = arena.params()
             stats = (arena.grad_accum, arena.grad_accum_abs, arena.denom,
                      arena.max_radii)
             C = cams.w2c.shape[0]
+            k_batch = view_idx.shape[1]
             pd_lrs = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
             zero_pv = {
                 "t": jnp.zeros((C, 3)), "r": jnp.zeros((C, 3)),
@@ -380,85 +487,57 @@ class MappingBackend:
             pv_state = (zero_pv, jax.tree.map(jnp.zeros_like, zero_pv),
                         jnp.zeros((C,), jnp.int32))
 
-            def one_iter(carry, vi):
+            def one_iter(carry, vi_batch):
                 (params, adam, stats, w2c_all, expa_all, expb_all,
                  pv_state) = carry
                 ga, gaa, den, mr = stats
-                image = cams.image[vi].astype(jnp.float32) / 255.0
-                depth_gt = cams.depth[vi].astype(jnp.float32)
-                w2c = w2c_all[vi]
-                pose_exp = {"t": jnp.zeros(3), "r": jnp.zeros(3),
-                            "a": expa_all[vi], "b": expb_all[vi]}
 
-                def loss_fn(params, probe, pe):
-                    out = render_view(params, arena.alive, w2c, K4, rcfg,
-                                      trans_delta=pe["t"], rot_delta=pe["r"],
-                                      means2d_probe=probe)
-                    img = out["color"] @ pe["a"] + pe["b"]
-                    d = out["depth"]
-                    rgb_l = 0.8 * jnp.abs(image - img).mean() \
-                        + 0.2 * (1 - ssim(img, image))
-                    dmask = jax.lax.stop_gradient((depth_gt > 1e-3) & (d > 1e-3))
-                    inv_d = jnp.where(dmask, 1.0 / jnp.maximum(d, 1e-6)
-                                      - 1.0 / jnp.maximum(depth_gt, 1e-6), 0.0)
-                    depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
-                    dn = depth_to_normal(d, K4)
-                    gdn = depth_to_normal(depth_gt, K4)
-                    norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
-                        / jnp.maximum(dmask.sum(), 1.0)
-                    rn = out["normal"]
-                    rn_l = ((1 - (rn * gdn).sum(-1)) * dmask).sum() \
-                        / jnp.maximum(dmask.sum(), 1.0)
-                    scales = jnp.exp(params["log_scales"])
-                    vis = out["visibility"]
-                    iso = (jnp.abs(scales - scales.mean(1, keepdims=True)
-                                   ).mean(1) * vis).sum() \
-                        / jnp.maximum(vis.sum(), 1.0)
-                    loss = (rgb_l + cfg.lambda_depth / 10 * depth_l
-                            + cfg.lambda_normal * (norm_l + rn_l)
-                            + cfg.lambda_iso * iso)
-                    return loss, (out["radii"], vis)
+                losses, gp_sum, ga_c, den_c, mr_c, gpes, w2cs = \
+                    self._gba_batch(params, arena.alive, cams.image,
+                                    cams.depth, w2c_all, expa_all,
+                                    expb_all, vi_batch)
 
-                probe = jnp.zeros((params["xyz"].shape[0], 2))
-                (loss, (radii, vis)), (gp, gprobe, gpe) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1, 2), has_aux=True)(
-                    params, probe, pose_exp)
-                gp = _mask_grads(gp, arena.alive)
-                gprobe = jnp.where(arena.alive[:, None], gprobe, 0.0)
+                gp = jax.tree.map(lambda g: g / k_batch, gp_sum)
                 params, adam = _adam_step(params, gp, adam, self._lrs())
 
-                # per-view Adam on pose delta + exposure, then fold the
-                # delta into w2c (update_pose) and store back at vi
+                # per-view Adam on pose delta + exposure (vectorized over
+                # the batch; vi_batch entries are distinct so the
+                # scatters don't collide), then fold the deltas into w2c
+                # (update_pose) and store back
+                pose_exp = {"t": jnp.zeros((k_batch, 3)),
+                            "r": jnp.zeros((k_batch, 3)),
+                            "a": expa_all[vi_batch],
+                            "b": expb_all[vi_batch]}
                 pv_m, pv_v, pv_t = pv_state
-                t_vi = pv_t[vi] + 1
+                t_vi = pv_t[vi_batch] + 1                      # (k,)
                 bc1 = 1 - 0.9 ** t_vi.astype(jnp.float32)
                 bc2 = 1 - 0.999 ** t_vi.astype(jnp.float32)
                 lrs_pe = {"t": pd_lrs["t"], "r": pd_lrs["r"],
                           "a": cfg.exposure_lr, "b": cfg.exposure_lr}
                 new_pe = {}
                 for k in pose_exp:
-                    mk = 0.9 * pv_m[k][vi] + 0.1 * gpe[k]
-                    vk = 0.999 * pv_v[k][vi] + 0.001 * gpe[k] * gpe[k]
-                    pv_m[k] = pv_m[k].at[vi].set(mk)
-                    pv_v[k] = pv_v[k].at[vi].set(vk)
-                    new_pe[k] = pose_exp[k] - lrs_pe[k] * (mk / bc1) \
-                        / (jnp.sqrt(vk / bc2) + 1e-8)
-                pv_state = (pv_m, pv_v, pv_t.at[vi].set(t_vi))
-                new_w2c = se3_delta_to_matrix(new_pe["t"], new_pe["r"]) @ w2c
-                w2c_all = w2c_all.at[vi].set(new_w2c)
-                expa_all = expa_all.at[vi].set(new_pe["a"])
-                expb_all = expb_all.at[vi].set(new_pe["b"])
-                # densification stats (gaussian_model.py:779-783); the
-                # probe grad xy-norm feeds grad_accum, its magnitude also
-                # feeds the abs channel (z-components unused in our
-                # rasterizer: both use the screen-space grad norm)
-                gnorm = jnp.linalg.norm(gprobe, axis=-1)
-                ga = ga + jnp.where(vis, gnorm, 0.0)
-                gaa = gaa + jnp.where(vis, gnorm, 0.0)
-                den = den + vis.astype(jnp.float32)
-                mr = jnp.maximum(mr, jnp.where(vis, radii, 0.0))
+                    ex = (1,) * (gpes[k].ndim - 1)
+                    mk = 0.9 * pv_m[k][vi_batch] + 0.1 * gpes[k]
+                    vk = 0.999 * pv_v[k][vi_batch] + 0.001 * gpes[k] ** 2
+                    pv_m[k] = pv_m[k].at[vi_batch].set(mk)
+                    pv_v[k] = pv_v[k].at[vi_batch].set(vk)
+                    new_pe[k] = pose_exp[k] - lrs_pe[k] \
+                        * (mk / bc1.reshape((-1,) + ex)) \
+                        / (jnp.sqrt(vk / bc2.reshape((-1,) + ex)) + 1e-8)
+                pv_state = (pv_m, pv_v, pv_t.at[vi_batch].set(t_vi))
+                new_w2c = jnp.einsum(
+                    "vij,vjk->vik",
+                    jax.vmap(se3_delta_to_matrix)(new_pe["t"], new_pe["r"]),
+                    w2cs)
+                w2c_all = w2c_all.at[vi_batch].set(new_w2c)
+                expa_all = expa_all.at[vi_batch].set(new_pe["a"])
+                expb_all = expb_all.at[vi_batch].set(new_pe["b"])
+                ga = ga + ga_c
+                gaa = gaa + ga_c
+                den = den + den_c
+                mr = jnp.maximum(mr, mr_c)
                 return (params, adam, (ga, gaa, den, mr), w2c_all,
-                        expa_all, expb_all, pv_state), loss
+                        expa_all, expb_all, pv_state), losses.mean()
 
             carry0 = (params, adam, stats, cams.w2c, cams.exposure_a,
                       cams.exposure_b, pv_state)
@@ -627,17 +706,54 @@ class MappingBackend:
         ds = self.cfg.downsample
         return pointmap[::ds, ::ds], valid[::ds, ::ds]
 
+    def pose_refine_multi(self, idxs: List[int]):
+        """Refine several views' poses in ONE batched program (their
+        initial poses must already be chained/consistent — see run()'s
+        parallel_kf_refine path). Returns downsampled (pointmaps, valids)
+        stacked over views, like pose_refine per view."""
+        ki = jnp.asarray(np.asarray(idxs, np.int32))
+        images = self.cams.image[ki].astype(jnp.float32) / 255.0
+        depth_gts = self.cams.depth[ki].astype(jnp.float32)
+        new_w2c, gt_scaled, pointmaps, valids = self._pose_refine_batch(
+            self.arena.params(), self.arena.alive, images, depth_gts,
+            self.cams.w2c[ki])
+        self.cams = dataclasses.replace(
+            self.cams,
+            w2c=self.cams.w2c.at[ki].set(new_w2c),
+            depth=self.cams.depth.at[ki].set(
+                gt_scaled.astype(jnp.bfloat16)))
+        ds = self.cfg.downsample
+        return pointmaps[:, ::ds, ::ds], valids[:, ::ds, ::ds]
+
     def global_ba(self, total_iters: int, densify: bool = True):
+        """``total_iters`` counts VIEW RENDERS (the reference's iteration
+        unit); with gba_views_per_iter = k > 1 each solver step consumes
+        k of them, so the Gaussian Adam step count drops k-fold while
+        per-view pose/exposure updates stay per-render."""
         view_ids = [i for i in range(self.cfg.cam_capacity)
                     if bool(self.cams.valid[i])]
         if not view_ids or total_iters <= 0:
             return
+        k_batch = max(1, min(self.cfg.gba_views_per_iter, len(view_ids)))
+        if self.mesh is not None:
+            # keep the sharded batch axis a device multiple (pad by
+            # repeats would double-count a view's pose update; shrink
+            # instead — only matters when views < devices at startup)
+            n_dev = dict(self.mesh.shape).get("mv", 1)
+            if k_batch % n_dev != 0:
+                k_batch = max(n_dev if len(view_ids) >= n_dev else 1,
+                              (k_batch // n_dev) * n_dev)
+            if k_batch > len(view_ids):
+                k_batch = 1
         seg = self.cfg.gba_segment
-        n_segs = max(1, (total_iters + seg - 1) // seg)
+        n_steps = max(1, (total_iters + k_batch - 1) // k_batch)
+        n_segs = max(1, (n_steps + seg - 1) // seg)
+        ids = jnp.asarray(view_ids, jnp.int32)
         for s in range(n_segs):
             self._rng, k1, k2 = jax.random.split(self._rng, 3)
-            vi = jax.random.choice(k1, jnp.asarray(view_ids, jnp.int32),
-                                   shape=(seg,))
+            keys = jax.random.split(k1, seg)
+            vi = jax.vmap(lambda kk: jax.random.choice(
+                kk, ids, shape=(k_batch,), replace=False))(keys)
             self.arena, self.adam, w2c_all, expa_all, expb_all, _ = \
                 self._gba_segment(self.arena, self.adam, self.cams, vi, k2)
             # joint pose+exposure writeback (reference update_pose per iter)
@@ -695,6 +811,55 @@ class MappingBackend:
         w2cs = packet["w2c"]             # (V, 4, 4)
         submap_idx = int(packet["submap_idx"])
         ds = self.cfg.downsample
+
+        new_pos = [i for i, idx in enumerate(viz_idx)
+                   if not bool(self.cams.valid[idx])]
+        if (self.initialized and self.cfg.parallel_kf_refine
+                and len(new_pos) > 1):
+            # ---- batched path (VERDICT r3 #3): refine ALL new KFs in
+            # one program, then one joint window optimization ----------
+            # Initial poses chain through the PREDECESSOR like the
+            # sequential loop, except a predecessor that is itself new
+            # this call contributes its INIT pose (its refinement hasn't
+            # happened yet — the joint window optimization afterwards
+            # re-couples the poses; parity vs sequential is tested in
+            # tests/test_parallel_mapping.py).
+            init_w2c = {}
+            for i in new_pos:
+                idx = viz_idx[i]
+                w2c = w2cs[i]
+                if i > 0:
+                    prev_i = i - 1
+                    prev = viz_idx[prev_i]
+                    rel = w2cs[i] @ np.linalg.inv(w2cs[prev_i])
+                    base = (init_w2c[prev_i] if prev_i in init_w2c
+                            else np.asarray(self.cams.w2c[prev]))
+                    w2c = rel @ base
+                init_w2c[i] = w2c
+                self.add_keyframe(idx, imgs[i], depths[i], w2c)
+            new_idxs = [viz_idx[i] for i in new_pos]
+            pms, vals = self.pose_refine_multi(new_idxs)
+            for j, i in enumerate(new_pos):
+                idx = viz_idx[i]
+                rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
+                self.seed(idx, np.asarray(pms[j]), rgb_ds,
+                          np.asarray(vals[j]) > 0, submap_idx)
+                if len(self.current_window) < self.cfg.window_size:
+                    self.current_window = self.current_window + [idx]
+                else:
+                    self.current_window = self.current_window[1:] + [idx]
+            # same per-KF iteration budget as the sequential loop
+            self.optimization(self.cfg.window_opt_iters * len(new_pos),
+                              self.current_window)
+            if self.cfg.new_view_opt_iters > 0:
+                # the sequential path polishes each new KF V=1 in turn;
+                # jointly the new KFs form one small window (same math:
+                # per-view losses are independent, optimize_pose=False)
+                self.optimization(self.cfg.new_view_opt_iters, new_idxs,
+                                  optimize_pose=False)
+            n_views = int(np.sum(np.asarray(self.cams.valid)))
+            self.global_ba(self.cfg.gba_per_view * n_views, densify=True)
+            return self.data_update(self.current_window)
 
         for i, idx in enumerate(viz_idx):
             if bool(self.cams.valid[idx]):

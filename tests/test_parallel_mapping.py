@@ -96,6 +96,80 @@ def test_parallel_optimize_matches_sequential(window_size, mv):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_parallel_gba_batch_matches_sequential():
+    """Batched global BA (gba_views_per_iter > 1) sharded over the mesh
+    vs the same batch on one device: identical math up to psum float
+    reassociation (VERDICT r3 #3)."""
+    K4 = np.asarray([0.9 * W, 0.9 * W, W / 2, H / 2], np.float32)
+    cfg = dataclasses.replace(_cfg(4), gba_views_per_iter=4,
+                              gba_segment=3)
+    rng = np.random.default_rng(0)
+    seq = MappingBackend(cfg, K4)
+    _seed_arena(seq, rng)
+    _add_views(seq, rng)
+
+    mesh = make_mesh(4, axes=("mv",), shape=(4,))
+    rng = np.random.default_rng(0)
+    par = MappingBackend(cfg, K4, mesh=mesh)
+    _seed_arena(par, rng)
+    _add_views(par, rng)
+
+    # same RNG stream -> identical (seg, k) view draws
+    seq.global_ba(12, densify=False)
+    par.global_ba(12, densify=False)
+    for k in seq.arena.params():
+        np.testing.assert_allclose(
+            np.asarray(par.arena.params()[k]),
+            np.asarray(seq.arena.params()[k]), rtol=2e-3, atol=2e-5,
+            err_msg=f"arena param {k} diverged")
+    np.testing.assert_allclose(np.asarray(par.cams.w2c[:N_CAMS]),
+                               np.asarray(seq.cams.w2c[:N_CAMS]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(par.arena.grad_accum), np.asarray(seq.arena.grad_accum),
+        rtol=2e-3, atol=2e-6)
+
+
+def test_gba_batch_k1_matches_reference_loop():
+    """gba_views_per_iter=1 must reproduce the one-view-per-iteration
+    reference semantics (the pre-batching implementation) bit-for-bit in
+    structure: one Adam step per view render."""
+    K4 = np.asarray([0.9 * W, 0.9 * W, W / 2, H / 2], np.float32)
+    cfg = dataclasses.replace(_cfg(4), gba_segment=3)
+    rng = np.random.default_rng(0)
+    be = MappingBackend(cfg, K4)
+    _seed_arena(be, rng)
+    _add_views(be, rng)
+    xyz_before = np.asarray(be.arena.xyz).copy()
+    be.global_ba(6, densify=False)
+    # six renders -> six Gaussian Adam steps (2 segments x 3 iters)
+    assert int(be.adam[2]) == 6
+    assert np.abs(np.asarray(be.arena.xyz) - xyz_before).max() > 0
+
+
+def test_parallel_pose_refine_matches_sequential():
+    """Batched pose refinement sharded over the mesh vs per-view
+    sequential calls: the per-view problems are independent, so results
+    must agree to float tolerance — including the pad-to-device-multiple
+    path (3 views on 4 devices)."""
+    seq, par = _make_pair(4, 4)
+    idxs = [0, 1, 2]
+    # sequential: one view at a time through the single-view jit
+    pm_seq, val_seq = [], []
+    for i in idxs:
+        pm, val = seq.pose_refine(i)
+        pm_seq.append(np.asarray(pm))
+        val_seq.append(np.asarray(val))
+    # parallel: one batched sharded program
+    pm_par, val_par = par.pose_refine_multi(idxs)
+    np.testing.assert_allclose(np.asarray(par.cams.w2c[:3]),
+                               np.asarray(seq.cams.w2c[:3]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pm_par), np.stack(pm_seq),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(val_par), np.stack(val_seq))
+
+
 def test_parallel_optimize_no_pose():
     """optimize_pose=False variant (the reference's per-KF refinement
     pass, gs_backend_per_frame.py:862) through the parallel path."""
