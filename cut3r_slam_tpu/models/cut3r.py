@@ -195,9 +195,14 @@ class CUT3R(nn.Module):
     # ------------------------------------------------------------------
     # encoders
     # ------------------------------------------------------------------
-    def encode_image(self, img: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """img: (B, H, W, 3) normalized to [-1,1] -> tokens (B, N, D), pos."""
-        x, pos = self.patch_embed(img.astype(self.cfg.compute_dtype))
+    def encode_image(self, img: jax.Array,
+                     portrait_mask: Optional[jax.Array] = None
+                     ) -> Tuple[jax.Array, jax.Array]:
+        """img: (B, H, W, 3) normalized to [-1,1] -> tokens (B, N, D), pos.
+        portrait_mask: (B,) bool ManyAR rows (transposed portrait images
+        in the landscape container — see models/patch_embed.py)."""
+        x, pos = self.patch_embed(img.astype(self.cfg.compute_dtype),
+                                  portrait_mask=portrait_mask)
         for blk in self.enc_blocks:
             x = blk(x, pos)
         return self.enc_norm(x), pos
@@ -502,16 +507,27 @@ class CUT3R(nn.Module):
                  update: Optional[jax.Array] = None,
                  reset: Optional[jax.Array] = None,
                  ret_state: bool = False,
-                 head_outputs=("self", "cross", "rgb", "pose")
+                 head_outputs=("self", "cross", "rgb", "pose"),
+                 true_shape: Optional[jax.Array] = None
                  ) -> Dict[str, jax.Array]:
         """imgs: (V, B, H, W, 3) in [-1, 1]. update/reset: (V, B) bool.
+        true_shape: optional (V, B, 2) int (height, width) per sample —
+        rows with height > width are ManyAR portrait images stored
+        TRANSPOSED in the landscape container (the reference's
+        ManyAR_PatchEmbed + transpose_to_landscape convention,
+        src/dust3r/patch_embed.py:35-93, heads/__init__.py); both
+        orientations run at static shapes and select per sample.
 
         Returns dict of stacked per-view outputs, each (V, B, ...):
         pts3d_in_self_view, conf_self, pts3d_in_other_view, conf,
         camera_pose (V, B, 7 wxyz), rgb (optional).
         """
         V, B, H, W, _ = imgs.shape
-        feat, pos = self.encode_image(imgs.reshape(V * B, H, W, 3))
+        pmask = None
+        if true_shape is not None and H != W:
+            pmask = (true_shape[..., 0] > true_shape[..., 1]).reshape(V * B)
+        feat, pos = self.encode_image(imgs.reshape(V * B, H, W, 3),
+                                      portrait_mask=pmask)
         if self.is_initializing():
             # materialize the ray-map encoder params (the reference runs a
             # zeroed ray map through it for the same reason, model.py:643)
@@ -550,6 +566,23 @@ class CUT3R(nn.Module):
         pos_flat = pos.reshape(V * B, N, 2)
         out = self.downstream_head([h0, h6, h9, h12], H, W, pos_flat,
                                    outputs=head_outputs)
+        if pmask is not None:
+            # transpose_to_landscape equivalent: portrait samples'
+            # tokens are row-major over the (nw, nh) grid, so run the
+            # SAME head params once more at the transposed resolution
+            # and swap the dense maps' spatial axes back into the
+            # container; per-sample select keeps shapes static.
+            out_p = self.downstream_head([h0, h6, h9, h12], W, H,
+                                         pos_flat, outputs=head_outputs)
+
+            def sel(land, port):
+                if port.ndim >= 3 and port.shape[1:3] == (W, H):
+                    port = port.swapaxes(1, 2)
+                    m = pmask.reshape((-1,) + (1,) * (land.ndim - 1))
+                    return jnp.where(m, port, land)
+                return land  # non-dense outputs (camera_pose)
+
+            out = {k: sel(out[k], out_p[k]) for k in out}
         out = {k: v.reshape((V, B) + v.shape[1:]) for k, v in out.items()}
         if ret_state:
             out["state"] = (state_feat, mem)

@@ -315,6 +315,38 @@ def _basis_planes():
     return bp, bt
 
 
+@jax.custom_vjp
+def _gather_entries(raw, entry_gauss, inv_map):
+    """raw (P, 16) per-Gaussian rows -> (n_tiles, K, 16) per-entry rows.
+
+    Forward: a plain row gather. Backward: instead of XLA's scatter-add
+    over 2M random rows (~7.6 ms at the bench load — the slowest single
+    op in the whole differentiable render), each Gaussian GATHERS the
+    gradients of its own <= max_dup entry slots via the inverse binning
+    map (gs_raster._bin_gaussians(return_inverse=True)) and sums them —
+    (P, max_dup) regular reads, no atomics, no sort.
+    inv_map rows use the SAME tile-row permutation as entry_gauss.
+    """
+    return raw[entry_gauss]
+
+
+def _gather_entries_fwd(raw, entry_gauss, inv_map):
+    return raw[entry_gauss], (entry_gauss, inv_map)
+
+
+def _gather_entries_bwd(res, dG):
+    entry_gauss, inv_map = res
+    nt, K, C = dG.shape
+    dG_pad = jnp.concatenate(
+        [dG.reshape(nt * K, C), jnp.zeros((1, C), dG.dtype)], axis=0)
+    idx = jnp.where(inv_map >= 0, inv_map, nt * K)  # -1 -> zero row
+    dRaw = dG_pad[idx].sum(1)  # (P, max_dup, 16) -> (P, 16)
+    return dRaw, None, None
+
+
+_gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
+
+
 def _build_raw(pre, colors):
     """(P, 16) per-Gaussian packed attribute rows — built ONCE per render
     so the per-entry pack needs a single row gather (and its backward a
@@ -332,19 +364,26 @@ def _build_raw(pre, colors):
 
 
 def _pack_entries(pre, colors, entry_gauss, entry_mask,
-                  cfg: RasterizeConfig, tile_order=None):
+                  cfg: RasterizeConfig, tile_order=None, inv_map=None):
     """(n_tiles, 16, K) packed per-entry channels, tile-local coords.
 
     Differentiable: XLA autodiff routes the kernel's dA back through
     these expressions (and the single row gather) to the per-Gaussian
     attributes. ``tile_order``: when the entry rows arrive occupancy-
     permuted, the per-row tile origins must follow the same permutation.
+    ``inv_map``: inverse binning map (already permutation-adjusted) —
+    routes the gather's backward through _gather_entries instead of a
+    scatter-add.
     """
     ox, oy = _tile_origins(cfg)
     if tile_order is not None:
         ox = ox[tile_order]
         oy = oy[tile_order]
-    G = _build_raw(pre, colors)[entry_gauss]             # (n_tiles, K, 16)
+    raw = _build_raw(pre, colors)
+    if inv_map is not None:
+        G = _gather_entries(raw, entry_gauss, inv_map)   # (n_tiles, K, 16)
+    else:
+        G = raw[entry_gauss]                             # (n_tiles, K, 16)
     mx = G[..., 0] - ox[:, None]
     my = G[..., 1] - oy[:, None]
     c0, c1, c2 = G[..., 2], G[..., 3], G[..., 4]
@@ -503,16 +542,24 @@ _blend_entries.defvjp(_blend_entries_fwd, _blend_entries_bwd)
 
 def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
                            K4, cfg: RasterizeConfig, bg, means2d_probe,
-                           interpret: bool, bins=None):
+                           interpret: bool, bins=None,
+                           need_inverse: bool = False):
     if bg is None:
         bg = jnp.zeros(3, means_cam.dtype)
     pre = _preprocess(means_cam, quats_wxyz, scales, opacities, K4, cfg)
     if means2d_probe is not None:
         pre["mean2d"] = pre["mean2d"] + means2d_probe
+    inv_map = None
     if bins is None:
-        entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
+        if need_inverse:
+            entry_gauss, entry_mask, inv_map = _bin_gaussians(
+                pre, cfg, return_inverse=True)
+        else:
+            entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
     else:
-        entry_gauss, entry_mask = bins
+        entry_gauss, entry_mask = bins[0], bins[1]
+        if need_inverse and len(bins) > 2:
+            inv_map = bins[2]
         entry_mask = entry_mask & pre["valid"][entry_gauss]
     counts = jnp.sum(entry_mask.astype(jnp.int32), axis=1)  # (n_tiles,)
 
@@ -524,9 +571,15 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
     entry_gauss = entry_gauss[order]
     entry_mask = entry_mask[order]
     counts = counts[order]
+    if inv_map is not None:
+        # re-point the inverse map at the permuted tile rows
+        Kp = cfg.max_per_tile
+        t_of = jnp.maximum(inv_map // Kp, 0)
+        inv_map = jnp.where(inv_map >= 0,
+                            inv_order[t_of] * Kp + inv_map % Kp, -1)
 
     A = _pack_entries(pre, colors, entry_gauss, entry_mask, cfg,
-                      tile_order=order)
+                      tile_order=order, inv_map=inv_map)
     _, chunk = _pick_tb_chunk(cfg.n_tiles, cfg.chunk)
     A = _pad_entries(A, chunk)
     O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, interpret), counts, A)
@@ -577,7 +630,7 @@ def rasterize_pallas(means_cam, quats_wxyz, scales, opacities, colors, K4,
     """
     return _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities,
                                   colors, K4, cfg, bg, means2d_probe,
-                                  interpret, bins=bins)
+                                  interpret, bins=bins, need_inverse=True)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -585,7 +638,7 @@ def rasterize_pallas_forward(means_cam, quats_wxyz, scales, opacities,
                              colors, K4, cfg: RasterizeConfig,
                              bg=None, interpret: bool = False, bins=None):
     """Forward-only render using the Pallas tile kernel (rendering, eval,
-    data_update, viz)."""
+    data_update, viz). Skips the inverse-map plumbing (backward-only)."""
     return _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities,
                                   colors, K4, cfg, bg, None, interpret,
                                   bins=bins)

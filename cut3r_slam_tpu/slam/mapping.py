@@ -270,7 +270,7 @@ class MappingBackend:
                 rd = pose_deltas["r"][i] if optimize_pose else jnp.zeros(3)
                 probe = jnp.zeros((params["xyz"].shape[0], 2))
                 vbins = (None if bins is None
-                         else (bins[0][i], bins[1][i]))
+                         else jax.tree.map(lambda b: b[i], bins))
                 out = render_view(params, alive, w2c_base[i], K4, rcfg,
                                   trans_delta=td, rot_delta=rd,
                                   means2d_probe=probe, bins=vbins)

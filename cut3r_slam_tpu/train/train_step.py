@@ -51,7 +51,11 @@ def make_train_step(model: CUT3R, tx):
     """
 
     def loss_fn(params, batch):
-        pred = model.apply(params, batch["imgs"])
+        # true_shape: optional (V, B, 2) ManyAR orientation rows — the
+        # multi-aspect dataset convention (portrait samples stored
+        # transposed; see models/patch_embed.py)
+        pred = model.apply(params, batch["imgs"],
+                           true_shape=batch.get("true_shape"))
         gt = {"pts3d": batch["pts3d"], "camera_pose": batch["camera_pose"],
               "valid_mask": batch["valid_mask"]}
         if "img" in batch:

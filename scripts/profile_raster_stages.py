@@ -91,12 +91,11 @@ def main():
     A = jax.block_until_ready(A)
     print(f"pre+pack : {ms:8.3f} ms   A {A.shape}", flush=True)
 
-    bp, bt = gp._basis_planes(cfg)
     counts = jnp.sum(em.astype(jnp.int32), axis=1)
 
     @jax.jit
     def blend_f(counts, A):
-        return gp._blend_call((cfg.chunk, False), counts, A, bp, bt)
+        return gp._blend_call((cfg.chunk, False), counts, A)
 
     ms, outs = timed(blend_f, counts, A)
     print(f"blend_f  : {ms:8.3f} ms", flush=True)
@@ -109,7 +108,7 @@ def main():
 
     @jax.jit
     def blend_b(counts, A):
-        return gp._blend_entries_bwd((cfg.chunk, False), (counts, A, bp, bt),
+        return gp._blend_entries_bwd((cfg.chunk, False), (counts, A),
                                      (gO, gd, gmd, gT))[1]
 
     ms, dA = timed(blend_b, counts, A)
