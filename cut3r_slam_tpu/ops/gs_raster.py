@@ -381,11 +381,13 @@ def compute_bins(means_cam: jax.Array, quats_wxyz: jax.Array,
     fringe. Fresh per-render validity (near-cull) is re-applied at
     render time via the entry mask.
 
-    Returns (entry_gauss (n_tiles, K) int32, entry_mask (n_tiles, K) bool,
-    inv_map (P, max_dup) int32 — see _bin_gaussians(return_inverse=True)).
+    Returns (entry_gauss (n_tiles, K) int32, entry_mask (n_tiles, K) bool).
+    (The inverse Gaussian->entry map of _bin_gaussians(return_inverse=True)
+    is NOT emitted: its gather-based pack backward measured slower than
+    XLA's scatter-add on the v5 chip, so nothing consumes it by default.)
     """
     pre = _preprocess(means_cam, quats_wxyz, scales, opacities, K4, cfg)
-    return _bin_gaussians(pre, cfg, return_inverse=True)
+    return _bin_gaussians(pre, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -12,31 +12,47 @@ depth are polynomials in the pixel coordinates —
   t     = t0 + t1 x + t2 y                                 (ray plane)
 
 evaluated ELEMENTWISE on the VPU from a packed 16-channel per-entry
-matrix  A = [q0..q5, t0..t2, rgb, normal, 1]  against tile-LOCAL pixel
-coordinates built in-kernel from an iota (local coords keep the f32
-cancellation error ~1e-4 and need no basis-plane DMA). log(opacity) and
-the entry validity mask fold into q0. Channel accumulation (color,
-normal, alpha-weight) is one (16 x C) @ (C x PX) MXU contraction per
-chunk. Transmittance is a LINEAR-SPACE prefix product computed with a
-Hillis-Steele doubling scan of sublane `pltpu.roll`s — O(C log C) VPU
-multiplies instead of the previous (C x C) triangular matmuls, which at
-f32-HIGHEST were 6-pass MXU ops at 6% utilization and dominated the
-kernel. (An earlier log-space sum variant matched XLA's cumprod only to
-~1e-5, flipping the median-depth selector near ties; the linear-space
-product agrees to a few ulps and drops the log/exp transcendentals.) Chunk loops are bounded by the batch's max entry count
-(scalar-prefetched) and exit early when every pixel's transmittance is
-exhausted.
+matrix A against tile-LOCAL pixel coordinates built in-kernel from an
+iota (local coords keep the f32 cancellation error ~1e-4 and need no
+basis-plane DMA). log(opacity) and the entry validity mask fold into q0.
+
+A's row layout puts the MXU-accumulated block FIRST so its slice is
+sublane-aligned: rows 0..2 rgb, 3..5 normal, 6 weight-one, 7 q0 (rides
+along in the 8-row channel contraction — its aT-weighted sum lands in a
+discarded output row, and 7 rows would pad to 8 sublanes anyway), 8..12
+q1..q5, 13..15 t0..t2. Channel accumulation is one (8 x C) @ (C x PX)
+MXU contraction per chunk — HALF the v2 kernel's 16-row contraction,
+whose rows 0..8 were polynomial coefficients that never needed
+accumulating.
+
+Transmittance is a LINEAR-SPACE prefix product via ONE Hillis-Steele
+doubling scan of sublane `pltpu.roll`s. The v2 kernel ran two more scans
+that are mathematically redundant: the early-termination violation flag
+is MONOTONE along the entry axis (transmittance never increases), so the
+CUDA per-pixel break (forward.cu:590 — the entry that drops T below
+T_MIN is NOT blended) is a plain comparison `T_in * inc0 >= T_MIN`, and
+the leftover transmittance is inc0 at the last kept entry = a masked
+sublane MIN (inc0 is nonincreasing), not a second prefix product.
+(An earlier log-space sum variant matched XLA's cumprod only to ~1e-5,
+flipping the median-depth selector near ties; the linear-space product
+agrees to a few ulps.) Chunk loops are bounded by the batch's max entry
+count (scalar-prefetched) and exit early when every pixel's
+transmittance is exhausted.
 
 Performance-critical layout choice: A is packed (n_tiles, 16, K) so the
-LANE dimension is the entry axis K (512) — the previous (n_tiles, K, 16)
-layout put 16 channels in the lanes, padding every load 16 -> 128.
+LANE dimension is the entry axis K (512) — a (n_tiles, K, 16) layout
+puts 16 channels in the lanes, padding every load 16 -> 128.
 
 The backward mirrors the CUDA backward (/root/reference/thirdparty/
-diff-gaussian-rasterization/cuda_rasterizer/backward.cu:145-632): two
-forward chunk passes — pass 1 reduces per-pixel totals (sum aT*b,
-last-contributor chunk, final T); pass 2 turns running prefix sums into
-the suffix terms  dL/da_i = T_i*b_i - (S_i + g_T*T_final)/(1-a_i)  and
-emits ONE packed (TB, 16, C) gradient dA per chunk via a single merged
+diff-gaussian-rasterization/cuda_rasterizer/backward.cu:145-632) but
+runs as ONE REVERSE pass over the chunks (the CUDA kernel and the v2
+Pallas backward both walk forward twice — once for per-pixel totals,
+once for the suffix terms). The forward saves each chunk's inbound
+transmittance T_in as a residual (nC x PX per tile batch — tiny next to
+A), so the backward recomputes chunks back-to-front and accumulates the
+suffix  S_i = sum_{j>i} aT_j b_j  directly:
+  dL/da_i = T_i*b_i - (S_i + g_T*T_final)/(1-a_i).
+Each chunk emits ONE packed (TB, 16, C) gradient dA via a single merged
 contraction over [pixels | power-basis | depth-basis] (3*PX lanes).
 XLA autodiff chains dA through the (differentiable) packing back to
 means/conics/opacity/colors/planes. Gradients match JAX AD of
@@ -66,6 +82,7 @@ __all__ = ["rasterize_pallas_forward", "rasterize_pallas"]
 
 PX = TILE * TILE  # 256 pixels per tile
 NCH = 16          # packed entry channels
+R_CH = 8          # rows 0..7 = MXU-accumulated channel block (see above)
 
 # Matmul precision for the channel accumulations. Mosaic lowers only
 # DEFAULT (one bf16 MXU pass — wrecks the blend numerics, compiled-vs-
@@ -117,13 +134,16 @@ def _chunk_blend(A, T_in):
     A: (TB, 16, C) packed entry chunk (indexed out of the 4D
     (TB, n_chunks, 16, C) block on a MAJOR dim — Mosaic cannot
     dynamic-slice the lane dimension); T_in: (TB, 1, PX).
-    Returns (TB, C, PX) maps.
+    Returns (TB, C, PX) maps. ONE prefix scan (the v2 kernel ran three;
+    see module docstring for why the other two reduce to a comparison
+    and a masked min).
     """
     x, y = _pixel_xy()
-    ch = [A[:, k, :][:, :, None] for k in range(9)]       # (TB, C, 1)
-    power = (ch[0] + ch[1] * x + ch[2] * y
-             + ch[3] * (x * x) + ch[4] * (y * y) + ch[5] * (x * y))
-    t_all = ch[6] + ch[7] * x + ch[8] * y
+    q = [A[:, 7 + k, :][:, :, None] for k in range(6)]    # (TB, C, 1)
+    power = (q[0] + q[1] * x + q[2] * y
+             + q[3] * (x * x) + q[4] * (y * y) + q[5] * (x * y))
+    t_all = (A[:, 13, :][:, :, None] + A[:, 14, :][:, :, None] * x
+             + A[:, 15, :][:, :, None] * y)
     alpha_raw = jnp.exp(power)       # includes log-opacity and mask in q0
     alpha_c = jnp.minimum(0.99, alpha_raw)
     # INTENTIONAL divergence from the XLA path's `power <= 0` reject
@@ -135,16 +155,19 @@ def _chunk_blend(A, T_in):
     alpha0 = jnp.where(ok, alpha_c, 0.0)
     one_m0 = 1.0 - alpha0                    # >= 0.01 (0.99 alpha clamp)
     inc0 = _prefix_prod_inclusive(one_m0)
-    # early termination: entry kept only while T_in * prod_{<=i} >= T_MIN;
-    # once tripped the pixel stays done for all later entries
-    viol = ((T_in * inc0) < jnp.float32(T_MIN)).astype(jnp.float32)
-    keep = (_prefix_inclusive(viol) < 0.5).astype(jnp.float32)
+    # early termination: T_in * inc0 is NONINCREASING along the entry
+    # axis, so the first violating entry and everything after it drop
+    # out via a plain comparison (matches CUDA forward.cu:590 — the
+    # violating entry itself is NOT blended).
+    keepb = (T_in * inc0) >= jnp.float32(T_MIN)
+    keep = keepb.astype(jnp.float32)
     alpha = alpha0 * keep
-    one_m = 1.0 - alpha
-    inc = _prefix_prod_inclusive(one_m)
-    Tb = T_in * inc / one_m                  # strict prefix product
+    Tb = T_in * inc0 / one_m0                # strict prefix product
     aT = alpha * Tb
-    T_out = T_in * inc[:, -1:, :]
+    # leftover transmittance = product of KEPT one_m0 = inc0 at the last
+    # kept entry = masked sublane min (inc0 nonincreasing; 1.0 if none).
+    T_out = T_in * jnp.min(jnp.where(keepb, inc0, 1.0), axis=1,
+                           keepdims=True)
     return dict(A=A, alpha_raw=alpha_raw, alpha=alpha, Tb=Tb, aT=aT,
                 t_all=t_all, T_out=T_out,
                 gate=jnp.where(ok & (alpha_raw < 0.99), keep, 0.0))
@@ -160,18 +183,26 @@ def _batch_chunks(cnt_ref, tb, chunk, k_entries):
 
 
 def _blend_fwd_kernel(cnt_ref, a_ref,
-                      o_out, dsum_out, mdep_out, tleft_out,
+                      o_out, dsum_out, mdep_out, tleft_out, tchk_out,
                       *, tb: int, chunk: int, k_entries: int):
-    """One grid step = TB tiles. Outputs: O (TB, 16, PX) accumulated
-    channels (rows 9..11 color, 12..14 normal, 15 alpha-weight), expected
-    ray-depth sum, median ray depth, leftover transmittance."""
+    """One grid step = TB tiles. Outputs: O (TB, 8, PX) accumulated
+    channels (rows 0..2 color, 3..5 normal, 6 alpha-weight, 7 discarded),
+    expected ray-depth sum, median ray depth, leftover transmittance.
+    ``tchk_out`` (None in the forward-only variant): per-chunk inbound
+    transmittance residuals for the one-pass reverse backward — rows of
+    chunks never reached stay at the zero init, which the backward uses
+    both to skip them and to null their gradients."""
+    if tchk_out is not None:
+        tchk_out[:] = jnp.zeros(tchk_out.shape, tchk_out.dtype)
     n_chunks = _batch_chunks(cnt_ref, tb, chunk, k_entries)
 
     def chunk_body(state):
         ci, (T, osum, dsum, mdep) = state
+        if tchk_out is not None:
+            tchk_out[:, ci] = T
         v = _chunk_blend(a_ref[:, ci], T)
         aT, t_all = v["aT"], v["t_all"]
-        osum = osum + jnp.einsum("bkc,bcp->bkp", v["A"], aT,
+        osum = osum + jnp.einsum("bkc,bcp->bkp", v["A"][:, :R_CH], aT,
                                  preferred_element_type=jnp.float32,
                                  precision=_PREC)
         dsum = dsum + jnp.sum(aT * t_all, axis=1, keepdims=True)
@@ -194,7 +225,7 @@ def _blend_fwd_kernel(cnt_ref, a_ref,
         return (ci < n_chunks) & (jnp.max(carry[0]) >= T_MIN)
 
     init = (jnp.ones((tb, 1, PX), jnp.float32),
-            jnp.zeros((tb, NCH, PX), jnp.float32),
+            jnp.zeros((tb, R_CH, PX), jnp.float32),
             jnp.zeros((tb, 1, PX), jnp.float32),
             jnp.zeros((tb, 1, PX), jnp.float32))
     _, (T, osum, dsum, mdep) = jax.lax.while_loop(
@@ -206,85 +237,72 @@ def _blend_fwd_kernel(cnt_ref, a_ref,
     tleft_out[:] = T
 
 
-def _blend_bwd_kernel(cnt_ref, a_ref, bp_ref, bt_ref,
+def _blend_bwd_kernel(cnt_ref, a_ref, tchk_ref, tlft_ref, bp_ref, bt_ref,
                       go_ref, gd_ref, gmd_ref, gT_ref, da_out,
                       *, tb: int, chunk: int, k_entries: int):
-    """Backward: two forward chunk passes emitting the packed dA."""
+    """Backward: ONE reverse pass over the chunks. The forward's saved
+    per-chunk inbound transmittance replaces the totals pass — suffix
+    sums accumulate back-to-front directly."""
     da_out[:] = jnp.zeros(da_out.shape, da_out.dtype)
     n_chunks = _batch_chunks(cnt_ref, tb, chunk, k_entries)
-    gO = go_ref[:]          # (TB, 16, PX); rows 0..8 arrive zero
+    gO = go_ref[:]          # (TB, 8, PX)
     gd = gd_ref[:]          # (TB, 1, PX) expected-depth-sum cotangent
     gmd = gmd_ref[:]        # (TB, 1, PX) median-depth cotangent
-    gT = gT_ref[:]          # (TB, 1, PX) final-transmittance cotangent
+    gTT = gT_ref[:] * tlft_ref[:]   # final-T cotangent x primal final T
 
-    def with_b(ci, T):
-        v = _chunk_blend(a_ref[:, ci], T)
-        # per-(entry, pixel) cotangent of aT: all O channels + depth
-        v["b"] = (jnp.einsum("bkc,bkp->bcp", v["A"], gO,
-                             preferred_element_type=jnp.float32,
-                             precision=_PREC)
-                  + gd * v["t_all"])
-        return v
+    # executed chunks form a prefix; their saved T_in is >= T_MIN > 0,
+    # never-reached chunks keep the zero init
+    def count_act(ci, n):
+        return n + (jnp.max(tchk_ref[:, ci]) > 0.0).astype(jnp.int32)
 
-    # ---- pass 1: per-pixel totals, with the forward's early exit -----
-    def p1(state):
-        ci, (T, tot_ab, last_chunk) = state
-        v = with_b(ci, T)
-        tot_ab = tot_ab + jnp.sum(v["aT"] * v["b"], axis=1, keepdims=True)
-        bm = (v["Tb"] > MEDIAN_T_THRESH) & (v["aT"] > 0.0)
-        has = jnp.any(bm, axis=1, keepdims=True)
-        last_chunk = jnp.where(has, ci, last_chunk)
-        return ci + 1, (v["T_out"], tot_ab, last_chunk)
+    n_act = jax.lax.fori_loop(0, n_chunks, count_act, jnp.int32(0))
 
-    def p1_not_done(state):
-        ci, carry = state
-        return (ci < n_chunks) & (jnp.max(carry[0]) >= T_MIN)
-
-    n_act, (T_final, tot_ab, last_chunk) = jax.lax.while_loop(
-        p1_not_done, p1,
-        (jnp.int32(0),
-         (jnp.ones((tb, 1, PX), jnp.float32),
-          jnp.zeros((tb, 1, PX), jnp.float32),
-          jnp.full((tb, 1, PX), -1, jnp.int32))))
-
-    gTT = gT * T_final  # (TB, 1, PX)
-    # basis planes for the merged dA contraction (constant block, DMA'd
-    # once: the index map pins block 0 for every grid step)
+    # merged-contraction RHS over [pixels | power basis | depth basis]
+    # lanes; channel rows 8..15 of the pixel block are zero (their
+    # cotangents live in the bases instead)
     Yb = jnp.concatenate([
-        gO,
+        jnp.concatenate(
+            [gO, jnp.zeros((tb, NCH - R_CH, PX), jnp.float32)], axis=1),
         jnp.broadcast_to(bp_ref[:][None], (tb, NCH, PX)),
         jnp.broadcast_to(bt_ref[:][None], (tb, NCH, PX))], axis=2)
 
-    # ---- pass 2: prefix -> suffix, one packed dA per chunk -----------
-    def p2(ci, carry):
-        T, pre_ab = carry
-        v = with_b(ci, T)
-        ab = v["aT"] * v["b"]
-        ab_inc = pre_ab + _prefix_inclusive(ab)
-        S = tot_ab - ab_inc  # suffix sum over later entries
-        dalpha = v["Tb"] * v["b"] - (S + gTT) / (1.0 - v["alpha"])
+    def body(i, carry):
+        S_carry, med_found = carry
+        ci = n_act - 1 - i
+        v = _chunk_blend(a_ref[:, ci], tchk_ref[:, ci])
+        # per-(entry, pixel) cotangent of aT: all O channels + depth
+        b = (jnp.einsum("bkc,bkp->bcp", v["A"][:, :R_CH], gO,
+                        preferred_element_type=jnp.float32,
+                        precision=_PREC)
+             + gd * v["t_all"])
+        ab = v["aT"] * b
+        ab_inc = _prefix_inclusive(ab)
+        tot = ab_inc[:, -1:, :]
+        S = (tot - ab_inc) + S_carry             # strict suffix sum
+        dalpha = v["Tb"] * b - (S + gTT) / (1.0 - v["alpha"])
+        # median contributor = globally LAST entry with bm; in reverse
+        # order that is the masked-max hit of the FIRST chunk with any
         bm = (v["Tb"] > MEDIAN_T_THRESH) & (v["aT"] > 0.0)
-        # median grad target mirrors the forward's masked-max selection
         iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
         local_idx = jnp.max(jnp.where(bm, iota, -1), axis=1,
                             keepdims=True)
-        is_med = (last_chunk == ci) & (iota == local_idx) & (local_idx >= 0)
+        fire = (local_idx >= 0) & (med_found < 0.5)
+        is_med = fire & (iota == local_idx)
         dt_all = gd * v["aT"] + gmd * jnp.where(is_med, 1.0, 0.0)
         dpower = dalpha * v["gate"] * v["alpha_raw"]  # d exp = exp
 
-        # ONE merged contraction over [pixels | power basis | depth
-        # basis] lanes replaces the previous three separate einsums:
+        # ONE merged contraction emits the whole packed dA chunk:
         # dA[k, c] = sum_p aT gO_k + dpower bp_k + dt bt_k
         X = jnp.concatenate([v["aT"], dpower, dt_all], axis=2)
         dA = jnp.einsum("bcx,bkx->bkc", X, Yb,
                         preferred_element_type=jnp.float32,
                         precision=_PREC)
         da_out[:, ci] = dA
-        return v["T_out"], pre_ab + jnp.sum(ab, axis=1, keepdims=True)
+        return (S_carry + tot, med_found + fire.astype(jnp.float32))
 
     jax.lax.fori_loop(
-        0, n_act, p2,
-        (jnp.ones((tb, 1, PX), jnp.float32),
+        0, n_act, body,
+        (jnp.zeros((tb, 1, PX), jnp.float32),
          jnp.zeros((tb, 1, PX), jnp.float32)))
 
 
@@ -302,7 +320,9 @@ def _tile_origins(cfg: RasterizeConfig):
 
 def _basis_planes():
     """(16, PX) power/depth basis rows over tile-local pixel coords,
-    used only by the backward's merged dA contraction."""
+    used only by the backward's merged dA contraction. Row layout
+    follows A: 7..12 power basis [1, x, y, x^2, y^2, xy] for q0..q5,
+    13..15 depth basis [1, x, y] for t0..t2."""
     oy, ox = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32),
                           jnp.arange(TILE, dtype=jnp.float32),
                           indexing="ij")
@@ -310,8 +330,9 @@ def _basis_planes():
     y = oy.reshape(-1)
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
-    bp = jnp.stack([one, x, y, x * x, y * y, x * y] + [zero] * 10, 0)
-    bt = jnp.stack([zero] * 6 + [one, x, y] + [zero] * 7, 0)
+    bp = jnp.stack([zero] * 7 + [one, x, y, x * x, y * y, x * y]
+                   + [zero] * 3, 0)
+    bt = jnp.stack([zero] * 13 + [one, x, y], 0)
     return bp, bt
 
 
@@ -319,12 +340,14 @@ def _basis_planes():
 def _gather_entries(raw, entry_gauss, inv_map):
     """raw (P, 16) per-Gaussian rows -> (n_tiles, K, 16) per-entry rows.
 
-    Forward: a plain row gather. Backward: instead of XLA's scatter-add
-    over 2M random rows (~7.6 ms at the bench load — the slowest single
-    op in the whole differentiable render), each Gaussian GATHERS the
+    Forward: a plain row gather. Backward: each Gaussian GATHERS the
     gradients of its own <= max_dup entry slots via the inverse binning
-    map (gs_raster._bin_gaussians(return_inverse=True)) and sums them —
-    (P, max_dup) regular reads, no atomics, no sort.
+    map (gs_raster._bin_gaussians(return_inverse=True)) and sums them.
+    MEASURED SLOWER than XLA's scatter-add on the v5 chip (19 ms vs
+    7.6 ms at 2M entries — (P, max_dup) random 64 B row reads are
+    latency-bound, while XLA's scatter lowers to a sorted combine), so
+    the default path does NOT use it; kept for callers that provide an
+    inverse map and for future hardware where the trade flips.
     inv_map rows use the SAME tile-row permutation as entry_gauss.
     """
     return raw[entry_gauss]
@@ -373,7 +396,7 @@ def _pack_entries(pre, colors, entry_gauss, entry_mask,
     permuted, the per-row tile origins must follow the same permutation.
     ``inv_map``: inverse binning map (already permutation-adjusted) —
     routes the gather's backward through _gather_entries instead of a
-    scatter-add.
+    scatter-add (measured slower on v5; see _gather_entries).
     """
     ox, oy = _tile_origins(cfg)
     if tile_order is not None:
@@ -399,11 +422,11 @@ def _pack_entries(pre, colors, entry_gauss, entry_mask,
     # t = tc + rp.(mean - pix): constant term keeps +rp.mean, the pixel
     # coefficients flip sign
     t0 = tc + rp0 * mx + rp1 * my
-    A = jnp.stack([q0, q1, q2, -0.5 * c0, -0.5 * c2, -c1,
-                   t0, -rp0, -rp1,
-                   G[..., 9], G[..., 10], G[..., 11],
-                   G[..., 12], G[..., 13], G[..., 14],
-                   jnp.ones_like(q0)], axis=1)           # (n_tiles, 16, K)
+    A = jnp.stack([G[..., 9], G[..., 10], G[..., 11],     # 0..2 rgb
+                   G[..., 12], G[..., 13], G[..., 14],    # 3..5 normal
+                   jnp.ones_like(q0),                     # 6 weight-one
+                   q0, q1, q2, -0.5 * c0, -0.5 * c2, -c1,  # 7..12 power
+                   t0, -rp0, -rp1], axis=1)               # 13..15 depth
     return A
 
 
@@ -429,7 +452,7 @@ def _pad_entries(A, chunk):
     if K_pad == K:
         return A
     pad = jnp.zeros((A.shape[0], NCH, K_pad - K), A.dtype)
-    pad = pad.at[:, 0, :].set(-1e30)
+    pad = pad.at[:, 7, :].set(-1e30)      # q0 row
     return jnp.concatenate([A, pad], axis=2)
 
 
@@ -440,7 +463,15 @@ def _to_chunked(A, chunk):
     return A.reshape(n_tiles, NCH, K // chunk, chunk).swapaxes(1, 2)
 
 
-def _blend_call(meta, counts, A):
+def _tchk_spec(tb, nC):
+    return pl.BlockSpec((tb, nC, 1, PX), lambda i, *_: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _blend_call(meta, counts, A, with_residuals=False):
+    """Forward blend. ``with_residuals``: also emit the per-chunk inbound
+    transmittance (n_tiles, nC, 1, PX) for the one-pass reverse backward
+    — returns (outs, tchk) instead of outs."""
     chunk0, interpret = meta
     n_tiles, K = A.shape[0], A.shape[2]
     tb, chunk = _pick_tb_chunk(n_tiles, chunk0)
@@ -456,27 +487,41 @@ def _blend_call(meta, counts, A):
         return pl.BlockSpec((tb, c, PX), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel(cnt, a, o, d, md, t):
-        _blend_fwd_kernel(cnt, a, o, d, md, t,
-                          tb=tb, chunk=chunk, k_entries=K)
+    out_specs = [pspec(R_CH), pspec(1), pspec(1), pspec(1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, R_CH, PX), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
+    ]
+    if with_residuals:
+        out_specs.append(_tchk_spec(tb, nC))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles, nC, 1, PX), jnp.float32))
+
+        def kernel(cnt, a, o, d, md, t, tchk):
+            _blend_fwd_kernel(cnt, a, o, d, md, t, tchk,
+                              tb=tb, chunk=chunk, k_entries=K)
+    else:
+        def kernel(cnt, a, o, d, md, t):
+            _blend_fwd_kernel(cnt, a, o, d, md, t, None,
+                              tb=tb, chunk=chunk, k_entries=K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tb,),
         in_specs=[espec()],
-        out_specs=(pspec(NCH), pspec(1), pspec(1), pspec(1)),
+        out_specs=tuple(out_specs),
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, NCH, PX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(counts, A4)
+    if with_residuals:
+        return outs[:4], outs[4]
+    return outs
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -486,12 +531,13 @@ def _blend_entries(meta, counts, A):
 
 
 def _blend_entries_fwd(meta, counts, A):
-    return _blend_call(meta, counts, A), (counts, A)
+    outs, tchk = _blend_call(meta, counts, A, with_residuals=True)
+    return outs, (counts, A, tchk, outs[3])
 
 
 def _blend_entries_bwd(meta, res, cots):
     chunk0, interpret = meta
-    counts, A = res
+    counts, A, tchk, tleft = res
     gO, gd, gmd, gT = cots
     n_tiles, K = A.shape[0], A.shape[2]
     tb, chunk = _pick_tb_chunk(n_tiles, chunk0)
@@ -511,15 +557,15 @@ def _blend_entries_bwd(meta, res, cots):
     bspec = pl.BlockSpec((NCH, PX), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM)
 
-    def kernel(cnt, a, bpr, btr, go, gdr, gmdr, gTr, da):
-        _blend_bwd_kernel(cnt, a, bpr, btr, go, gdr, gmdr, gTr, da,
-                          tb=tb, chunk=chunk, k_entries=K)
+    def kernel(cnt, a, tchkr, tlft, bpr, btr, go, gdr, gmdr, gTr, da):
+        _blend_bwd_kernel(cnt, a, tchkr, tlft, bpr, btr, go, gdr, gmdr,
+                          gTr, da, tb=tb, chunk=chunk, k_entries=K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tb,),
-        in_specs=[espec(), bspec, bspec,
-                  pspec(NCH), pspec(1), pspec(1), pspec(1)],
+        in_specs=[espec(), _tchk_spec(tb, nC), pspec(1), bspec, bspec,
+                  pspec(R_CH), pspec(1), pspec(1), pspec(1)],
         out_specs=espec(),
     )
     dA4 = pl.pallas_call(
@@ -528,7 +574,7 @@ def _blend_entries_bwd(meta, res, cots):
         out_shape=jax.ShapeDtypeStruct((n_tiles, nC, NCH, chunk),
                                        jnp.float32),
         interpret=interpret,
-    )(counts, A4, bp, bt, gO, gd, gmd, gT)
+    )(counts, A4, tchk, tleft, bp, bt, gO, gd, gmd, gT)
     dA = dA4.swapaxes(1, 2).reshape(n_tiles, NCH, K)
     return None, dA
 
@@ -588,10 +634,10 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
     dsum3 = dsum3[inv_order]
     mdep3 = mdep3[inv_order]
     T3 = T3[inv_order]
-    Opx = O.swapaxes(1, 2)                       # (n_tiles, PX, 16)
-    csum = Opx[..., 9:12]
-    nsum = Opx[..., 12:15]
-    wsum = Opx[..., 15:16]
+    Opx = O.swapaxes(1, 2)                       # (n_tiles, PX, 8)
+    csum = Opx[..., 0:3]
+    nsum = Opx[..., 3:6]
+    wsum = Opx[..., 6:7]
     dsum = dsum3.swapaxes(1, 2)
     mdep = mdep3.swapaxes(1, 2)
     T = T3.swapaxes(1, 2)
@@ -628,9 +674,11 @@ def rasterize_pallas(means_cam, quats_wxyz, scales, opacities, colors, K4,
     Gradients flow to all Gaussian attributes, the probe, and (through
     means_cam / quats) the camera pose deltas.
     """
+    # need_inverse=False: the inverse-map gather backward measured SLOWER
+    # than XLA's scatter-add on the v5 chip (see _gather_entries).
     return _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities,
                                   colors, K4, cfg, bg, means2d_probe,
-                                  interpret, bins=bins, need_inverse=True)
+                                  interpret, bins=bins, need_inverse=False)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -638,7 +686,7 @@ def rasterize_pallas_forward(means_cam, quats_wxyz, scales, opacities,
                              colors, K4, cfg: RasterizeConfig,
                              bg=None, interpret: bool = False, bins=None):
     """Forward-only render using the Pallas tile kernel (rendering, eval,
-    data_update, viz). Skips the inverse-map plumbing (backward-only)."""
+    data_update, viz)."""
     return _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities,
                                   colors, K4, cfg, bg, None, interpret,
                                   bins=bins)

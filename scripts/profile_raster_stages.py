@@ -72,7 +72,8 @@ def main():
     @jax.jit
     def bins_fn(m, q, s, o):
         pre = _preprocess(m, q, s, o, K4, cfg)
-        return _bin_gaussians(pre, cfg)
+        eg, em, _ = _bin_gaussians(pre, cfg, return_inverse=True)
+        return eg, em
 
     ms, (eg, em) = timed(bins_fn, means, quats, scales, opac)
     eg = jax.block_until_ready(eg)
@@ -100,18 +101,28 @@ def main():
     ms, outs = timed(blend_f, counts, A)
     print(f"blend_f  : {ms:8.3f} ms", flush=True)
 
-    # backward kernel alone
+    # residual-emitting forward (the VJP's forward: + per-chunk T_in)
+    @jax.jit
+    def blend_fres(counts, A):
+        return gp._blend_call((cfg.chunk, False), counts, A,
+                              with_residuals=True)
+
+    ms, (outs, tchk) = timed(blend_fres, counts, A)
+    print(f"blend_fr : {ms:8.3f} ms  (+T checkpoints)", flush=True)
+
+    # backward kernel alone (one reverse pass over the chunks)
     gO = jnp.ones_like(outs[0])
     gd = jnp.ones_like(outs[1])
     gmd = jnp.ones_like(outs[2])
     gT = jnp.ones_like(outs[3])
 
     @jax.jit
-    def blend_b(counts, A):
-        return gp._blend_entries_bwd((cfg.chunk, False), (counts, A),
-                                     (gO, gd, gmd, gT))[1]
+    def blend_b(counts, A, tchk, tleft):
+        return gp._blend_entries_bwd(
+            (cfg.chunk, False), (counts, A, tchk, tleft),
+            (gO, gd, gmd, gT))[1]
 
-    ms, dA = timed(blend_b, counts, A)
+    ms, dA = timed(blend_b, counts, A, tchk, outs[3])
     print(f"blend_b  : {ms:8.3f} ms", flush=True)
 
     # pack backward: vjp of pack wrt gaussian attrs given dA
@@ -127,7 +138,60 @@ def main():
         return vjp(dA)[0]
 
     ms, _ = timed(pack_bwd, means, quats, scales, opac, colors, dA)
-    print(f"pack_bwd : {ms:8.3f} ms  (incl pack fwd re-run)", flush=True)
+    print(f"pack_bwd : {ms:8.3f} ms  (incl pack fwd re-run; scatter-add)",
+          flush=True)
+
+    # pack backward THROUGH THE INVERSE-MAP GATHER (_gather_entries) —
+    # the path rasterize_pallas actually takes since round 4
+    @jax.jit
+    def inv_fn(m, q, s, o):
+        pre = _preprocess(m, q, s, o, K4, cfg)
+        return _bin_gaussians(pre, cfg, return_inverse=True)[2]
+
+    inv = jax.block_until_ready(inv_fn(means, quats, scales, opac))
+
+    def pack_inv_for_vjp(m, q, s, o, c):
+        pre = _preprocess(m, q, s, o, K4, cfg)
+        A = gp._pack_entries(pre, c, eg, em, cfg, inv_map=inv)
+        _, chunk = gp._pick_tb_chunk(cfg.n_tiles, cfg.chunk)
+        return gp._pad_entries(A, chunk)
+
+    @jax.jit
+    def pack_bwd_inv(m, q, s, o, c, dA):
+        _, vjp = jax.vjp(pack_inv_for_vjp, m, q, s, o, c)
+        return vjp(dA)[0]
+
+    ms, _ = timed(pack_bwd_inv, means, quats, scales, opac, colors, dA)
+    print(f"pack_bwd : {ms:8.3f} ms  (incl pack fwd re-run; inv gather)",
+          flush=True)
+
+    # ---- end-to-end differentiable render, cached bins (the mapping
+    # optimizer's steady-state path) --------------------------------------
+    from cut3r_slam_tpu.ops.gs_raster_pallas import rasterize_pallas
+    from cut3r_slam_tpu.ops.gs_raster import compute_bins
+
+    bins = jax.block_until_ready(jax.jit(
+        lambda m, q, s, o: compute_bins(m, q, s, o, K4, cfg)
+    )(means, quats, scales, opac))
+
+    @jax.jit
+    def e2e_fwd(m, q, s, o, c):
+        return rasterize_pallas(m, q, s, o, c, K4, cfg,
+                                bins=bins)["color"].mean()
+
+    ms, _ = timed(e2e_fwd, means, quats, scales, opac, colors)
+    print(f"e2e_fwd  : {ms:8.3f} ms  (cached bins)", flush=True)
+
+    @jax.jit
+    def e2e_bwd(m, q, s, o, c):
+        return jax.grad(
+            lambda mm, cc: rasterize_pallas(
+                mm, q, s, o, cc, K4, cfg, bins=bins)["color"].mean(),
+            argnums=(0, 1))(m, c)
+
+    ms, _ = timed(e2e_bwd, means, quats, scales, opac, colors)
+    print(f"e2e_f+b  : {ms:8.3f} ms  (cached bins, grad means+colors)",
+          flush=True)
 
 
 if __name__ == "__main__":
