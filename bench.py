@@ -221,15 +221,22 @@ def main():
     # a fresh compile.
     warm_t = []
     n_warm = 0
+    mapped_warm = False  # has a mapping event been compiled+warmed yet?
     for t in range(n_frames):
-        if t > 2 and remaining() < 0.3 * BUDGET_S:
-            note(f"warm-up cut at frame {t} (budget)")
+        # The headline must include mapping-event cost (VERDICT r3 weak #1):
+        # never cut the warm-up before the first mapping event has compiled,
+        # or pass 2 would silently time a tracking-only sequence. Only an
+        # emergency floor (60 s) overrides that — the emitted line then
+        # keeps warm_pass=false so the number is labeled cold/dishonest.
+        if t > 2 and remaining() < (0.3 * BUDGET_S if mapped_warm else 60):
+            note(f"warm-up cut at frame {t} (budget, mapped={mapped_warm})")
             result["breakdown"]["warmup_cut_at_frame"] = t
             break
         t0 = time.perf_counter()
         note(f"warm frame {t}")
-        slam.run(t, frames[t], K4)
+        _, warm_viz = slam.run(t, frames[t], K4)
         sync()
+        mapped_warm = mapped_warm or warm_viz is not None
         warm_t.append(time.perf_counter() - t0)
         n_warm = t + 1
         if n_warm >= 3:
@@ -251,7 +258,9 @@ def main():
     track_t = []
     map_t = []
     for t in range(n_warm):
-        if t > 2 and remaining() < 20:
+        # same rule as pass 1: a timed pass without a mapping event would
+        # make the headline tracking-only — hold out until one lands.
+        if t > 2 and remaining() < (20 if map_t else 5):
             result["breakdown"]["timed_cut_at_frame"] = t
             break
         t0 = time.perf_counter()
@@ -268,6 +277,7 @@ def main():
             result["frames"] = len(frame_t)
             result["warm_pass"] = True
             result["steady_state"] = True
+            result["mapping_included"] = len(map_t) > 0
             bd = result["breakdown"]
             bd["n_mapping_events"] = len(map_t)
             if map_t:
