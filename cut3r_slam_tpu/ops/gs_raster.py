@@ -241,7 +241,14 @@ def _preprocess(means, quats, scales, opacities, K4, cfg: RasterizeConfig):
     normal = n_cam / jnp.sqrt(
         jnp.sum(n_cam * n_cam, axis=-1, keepdims=True) + 1e-24)
 
-    valid = valid & (det1 > 1e-6)
+    # Opacity cull: a Gaussian with effective opacity < 1/255 can never
+    # pass the per-pixel alpha test (alpha = opacity·coef·exp(power) ≤
+    # opacity·coef, forward.cu:560-566), so binning it only burns
+    # max_per_tile budget. This matters because pruned arena slots keep
+    # stale geometry with opacity forced to 0 by the alive mask — without
+    # this cull every one of them stays tile-resident forever. Exact vs
+    # CUDA except for Gaussians within one ulp of the threshold.
+    valid = valid & (det1 > 1e-6) & (opacities * coef >= ALPHA_MIN)
     radius = jnp.where(valid, radius, 0.0)
 
     return {

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..ops.knn import dist_to_3nn_sq
 
 __all__ = ["GaussianArena", "seed_from_pointmap", "densify_and_prune",
-           "RGB2SH", "SH2RGB"]
+           "RGB2SH", "SH2RGB", "last_alive_bound"]
 
 SH_C0 = 0.28209479177387814
 
@@ -98,6 +98,30 @@ class GaussianArena:
     @property
     def scales(self):
         return jnp.exp(self.log_scales)
+
+    # ---- live-prefix views ------------------------------------------
+    # Seeding and densification always fill the LOWEST free slots
+    # (seed_from_pointmap free_rank order), so the alive set stays a
+    # prefix (with holes from pruning). Hot programs can therefore run
+    # on arena[:bucket] for any bucket >= last_alive_bound() — per-render
+    # preprocess/bin/pack cost then scales with the LIVE count (like the
+    # CUDA rasterizer) instead of the arena capacity.
+
+    def slice_prefix(self, n: int) -> "GaussianArena":
+        """A view of the first ``n`` slots (every field is (N, ...))."""
+        return jax.tree.map(lambda x: x[:n], self)
+
+    def write_prefix(self, prefix: "GaussianArena") -> "GaussianArena":
+        """Write a ``slice_prefix``-shaped arena back into the front."""
+        return jax.tree.map(
+            lambda full, p: full.at[: p.shape[0]].set(p), self, prefix)
+
+
+@jax.jit
+def last_alive_bound(alive: jax.Array) -> jax.Array:
+    """1 + highest alive slot index (0 when empty)."""
+    idx = jnp.arange(alive.shape[0], dtype=jnp.int32)
+    return jnp.max(jnp.where(alive, idx, -1)) + 1
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ schedule, so moments can be masked/reset at reallocated slots.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 import jax
@@ -38,7 +38,8 @@ from ..geometry.pointmap import depth_to_normal, depth_to_pointmap
 from ..geometry.lie import se3_matrix
 from ..geometry.quaternion import quat_normalize
 from .camera import CameraBuffer, se3_delta_to_matrix
-from .gaussian_map import GaussianArena, seed_from_pointmap, densify_and_prune
+from .gaussian_map import (GaussianArena, seed_from_pointmap,
+                           densify_and_prune, last_alive_bound)
 from .renderer import render_view, bin_view, _quat_mult_wxyz
 
 __all__ = ["MappingConfig", "MappingBackend"]
@@ -93,6 +94,16 @@ class MappingConfig:
     compensate_exposure: bool = True
     # "auto": Pallas tile kernels on TPU, XLA scan elsewhere
     raster_backend: str = "auto"  # "auto" | "pallas" | "xla"
+    # Live-prefix bucketing: hot programs (pose refine, window
+    # optimization, global BA, data_update renders) run on
+    # arena[:bucket], where bucket is the smallest capacity/div
+    # (div in bucket_divs) covering every alive slot — per-render
+    # preprocess/bin/pack cost then scales with the live Gaussian count
+    # like the CUDA rasterizer's, instead of with arena capacity. Seeds
+    # fill the lowest free slots, so alive stays a prefix; each bucket
+    # size is a distinct compiled program (lazy, cached).
+    bucket_live_prefix: bool = True
+    bucket_divs: Tuple[int, ...] = (8, 4, 2, 1)
 
 
 def _mask_grads(grads, alive):
@@ -161,6 +172,36 @@ class MappingBackend:
         return {"xyz": c.position_lr, "f_dc": c.feature_lr,
                 "opacity_logit": c.opacity_lr, "log_scales": c.scaling_lr,
                 "quat": c.rotation_lr}
+
+    # ---------------- live-prefix bucketing (see MappingConfig) -------
+    def _live_bucket(self) -> int:
+        """Smallest configured bucket covering every alive slot."""
+        cfg = self.cfg
+        if not cfg.bucket_live_prefix:
+            return cfg.capacity
+        bound = int(last_alive_bound(self.arena.alive))
+        for div in sorted(cfg.bucket_divs, reverse=True):
+            b = cfg.capacity // div
+            if bound <= b:
+                return b
+        return cfg.capacity
+
+    def _sliced(self, bucket: int):
+        """(arena, adam) views of the first ``bucket`` slots."""
+        arena_b = self.arena.slice_prefix(bucket)
+        m, v, t = self.adam
+        adam_b = (jax.tree.map(lambda x: x[:bucket], m),
+                  jax.tree.map(lambda x: x[:bucket], v), t)
+        return arena_b, adam_b
+
+    def _write_back(self, arena_b: GaussianArena, adam_b):
+        """Scatter bucket-shaped state back into the full arena/adam."""
+        self.arena = self.arena.write_prefix(arena_b)
+        m, v, _ = self.adam
+        mb, vb, t = adam_b
+        self.adam = (
+            jax.tree.map(lambda f, p: f.at[: p.shape[0]].set(p), m, mb),
+            jax.tree.map(lambda f, p: f.at[: p.shape[0]].set(p), v, vb), t)
 
     def _build_jits(self):
         cfg = self.cfg
@@ -672,11 +713,12 @@ class MappingBackend:
                               "r": jnp.zeros((V, 3))})
         ex_adam = _adam_init({"a": jnp.zeros((V, 3, 3)),
                               "b": jnp.zeros((V, 3))})
+        arena_b, adam_b = self._sliced(self._live_bucket())
         for _ in range(max(1, (int(iters) + seg - 1) // seg)):
-            params, self.adam, w2c, exposure, loss, pd_adam, ex_adam = \
-                opt_fn(self.arena, self.adam, self.cams, idx, wts,
+            params, adam_b, w2c, exposure, loss, pd_adam, ex_adam = \
+                opt_fn(arena_b, adam_b, self.cams, idx, wts,
                        seg, bool(optimize_pose), pd_adam, ex_adam)
-            self.arena = self.arena.with_params(params)
+            arena_b = arena_b.with_params(params)
             if optimize_pose:
                 # write poses AND exposure back every segment — the next
                 # segment regathers both from cams, so skipping the
@@ -690,14 +732,16 @@ class MappingBackend:
                         exposure["a"][:n]),
                     exposure_b=self.cams.exposure_b.at[ki].set(
                         exposure["b"][:n]))
+        self._write_back(arena_b, adam_b)
         return float(loss)
 
     def pose_refine(self, idx: int):
         """Refine one view's pose; returns (pointmap, valid) for seeding."""
         image = self.cams.image[idx].astype(jnp.float32) / 255.0
         depth_gt = self.cams.depth[idx].astype(jnp.float32)
+        arena_b = self.arena.slice_prefix(self._live_bucket())
         new_w2c, gt_scaled, pointmap, valid = self._pose_refine(
-            self.arena.params(), self.arena.alive, image, depth_gt,
+            arena_b.params(), arena_b.alive, image, depth_gt,
             self.cams.w2c[idx])
         self.cams = dataclasses.replace(
             self.cams,
@@ -714,8 +758,9 @@ class MappingBackend:
         ki = jnp.asarray(np.asarray(idxs, np.int32))
         images = self.cams.image[ki].astype(jnp.float32) / 255.0
         depth_gts = self.cams.depth[ki].astype(jnp.float32)
+        arena_b = self.arena.slice_prefix(self._live_bucket())
         new_w2c, gt_scaled, pointmaps, valids = self._pose_refine_batch(
-            self.arena.params(), self.arena.alive, images, depth_gts,
+            arena_b.params(), arena_b.alive, images, depth_gts,
             self.cams.w2c[ki])
         self.cams = dataclasses.replace(
             self.cams,
@@ -754,8 +799,10 @@ class MappingBackend:
             keys = jax.random.split(k1, seg)
             vi = jax.vmap(lambda kk: jax.random.choice(
                 kk, ids, shape=(k_batch,), replace=False))(keys)
-            self.arena, self.adam, w2c_all, expa_all, expb_all, _ = \
-                self._gba_segment(self.arena, self.adam, self.cams, vi, k2)
+            arena_b, adam_b = self._sliced(self._live_bucket())
+            arena_b, adam_b, w2c_all, expa_all, expb_all, _ = \
+                self._gba_segment(arena_b, adam_b, self.cams, vi, k2)
+            self._write_back(arena_b, adam_b)
             # joint pose+exposure writeback (reference update_pose per iter)
             self.cams = dataclasses.replace(
                 self.cams, w2c=w2c_all, exposure_a=expa_all,
@@ -791,8 +838,9 @@ class MappingBackend:
     def data_update(self, window: List[int]):
         """Return refined depths/pointmaps/poses for tracker writeback."""
         depths, pointmaps, c2ws = [], [], []
+        arena_b = self.arena.slice_prefix(self._live_bucket())
         for k in window:
-            d, p, c = self._render_for_update(self.arena, self.cams,
+            d, p, c = self._render_for_update(arena_b, self.cams,
                                               jnp.int32(k))
             depths.append(np.asarray(d))
             pointmaps.append(np.asarray(p))

@@ -137,3 +137,29 @@ def test_arena_densify_prune_caps():
     # overflow: only 64 slots available
     assert int(n) == 64
     assert int(arena.alive.sum()) == 64
+
+
+def test_live_prefix_bucket_parity():
+    """Optimization on arena[:bucket] must equal the full-capacity
+    program bit-for-band (dead tail slots are opacity-culled from
+    binning either way); the bucket must follow occupancy."""
+    img, depth = _make_scene()
+    pm = np.asarray(depth_to_pointmap(jnp.asarray(depth), jnp.asarray(K4)))
+    colors = img.astype(np.float32) / 255.0
+    mask = np.zeros((H, W), bool)
+    mask[::2, ::2] = True  # 256 seeds << capacity -> smallest bucket
+
+    outs = {}
+    for bucketed in (True, False):
+        cfg = MappingConfig(height=H, width=W, capacity=4096,
+                            cam_capacity=8, window_size=4,
+                            pose_refine_iters=5, max_per_tile=384,
+                            gba_segment=10, bucket_live_prefix=bucketed)
+        be = MappingBackend(cfg, K4)
+        be.add_keyframe(0, img, depth, np.eye(4, dtype=np.float32))
+        be.seed(0, pm, colors, mask, submap_idx=0)
+        if bucketed:
+            assert be._live_bucket() == 4096 // 8, be._live_bucket()
+        be.optimization(20, [0], optimize_pose=False)
+        outs[bucketed] = np.asarray(be.arena.xyz)
+    assert np.allclose(outs[True], outs[False], atol=1e-6)
