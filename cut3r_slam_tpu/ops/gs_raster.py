@@ -66,6 +66,8 @@ class RasterizeConfig:
     kernel_size: float = 0.1   # low-pass added to cov2D (config.h / settings)
     use_pallas: bool = False   # tile blend via the Pallas kernels (TPU);
     #                            fwd+custom-VJP bwd in ops/gs_raster_pallas
+    interpret: bool = False    # run Pallas kernels in interpret mode —
+    #                            CPU-testable parity of the pallas paths
     fused_bin_key: bool = True  # binning sort on ONE packed uint32 key
     #                             (tile | quantized depth) instead of a
     #                             2-key (tile, f32 depth) sort — ~halves

@@ -78,7 +78,8 @@ from .gs_raster import (RasterizeConfig, TILE, ALPHA_MIN, T_MIN,
                         MEDIAN_T_THRESH, NORMALIZE_EPS, _preprocess,
                         _bin_gaussians, _untile)
 
-__all__ = ["rasterize_pallas_forward", "rasterize_pallas"]
+__all__ = ["rasterize_pallas_forward", "rasterize_pallas",
+           "rasterize_pallas_multi"]
 
 PX = TILE * TILE  # 256 pixels per tile
 NCH = 16          # packed entry channels
@@ -407,6 +408,13 @@ def _pack_entries(pre, colors, entry_gauss, entry_mask,
         G = _gather_entries(raw, entry_gauss, inv_map)   # (n_tiles, K, 16)
     else:
         G = raw[entry_gauss]                             # (n_tiles, K, 16)
+    return _assemble_A(G, ox, oy, entry_mask)
+
+
+def _assemble_A(G, ox, oy, entry_mask):
+    """Packed-A assembly from gathered per-entry rows G (T, K, 16) and
+    per-row tile origins ox/oy (T,) — shared by the single-view and
+    fused multi-view packers."""
     mx = G[..., 0] - ox[:, None]
     my = G[..., 1] - oy[:, None]
     c0, c1, c2 = G[..., 2], G[..., 3], G[..., 4]
@@ -634,35 +642,12 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
     dsum3 = dsum3[inv_order]
     mdep3 = mdep3[inv_order]
     T3 = T3[inv_order]
-    Opx = O.swapaxes(1, 2)                       # (n_tiles, PX, 8)
-    csum = Opx[..., 0:3]
-    nsum = Opx[..., 3:6]
-    wsum = Opx[..., 6:7]
-    dsum = dsum3.swapaxes(1, 2)
-    mdep = mdep3.swapaxes(1, 2)
-    T = T3.swapaxes(1, 2)
-
-    fx, fy = K4[0], K4[1]
-    color_img = _untile(csum, cfg) + _untile(T, cfg) * bg
-    w = _untile(wsum, cfg)[..., 0]
-    anyc = w > 0
-    w_safe = jnp.where(anyc, jnp.maximum(w, 1e-12), 1.0)
-    yy, xx = jnp.meshgrid(jnp.arange(cfg.height, dtype=jnp.float32),
-                          jnp.arange(cfg.width, dtype=jnp.float32),
-                          indexing="ij")
-    pnx = (xx - cfg.width / 2.0) / fx
-    pny = (yy - cfg.height / 2.0) / fy
-    ln = jnp.sqrt(pnx * pnx + pny * pny + 1.0)
-    depth = jnp.where(anyc, _untile(dsum, cfg)[..., 0] / ln / w_safe, 0.0)
-    mdepth = _untile(mdep, cfg)[..., 0] / ln
-    nsum_img = _untile(nsum, cfg)
-    nlen = jnp.sqrt(jnp.sum(nsum_img ** 2, -1, keepdims=True)
-                    + NORMALIZE_EPS ** 2)
-    normal = jnp.where(anyc[..., None], nsum_img / nlen, 0.0)
-    return {"color": color_img, "alpha": w, "depth": depth,
-            "mdepth": mdepth, "normal": normal,
-            "radii": pre["radius"],
-            "visibility": pre["valid"] & (pre["radius"] > 0)}
+    maps = _image_maps(O.swapaxes(1, 2), dsum3.swapaxes(1, 2),
+                       mdep3.swapaxes(1, 2), T3.swapaxes(1, 2),
+                       bg, K4, cfg)
+    maps["radii"] = pre["radius"]
+    maps["visibility"] = pre["valid"] & (pre["radius"] > 0)
+    return maps
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -690,3 +675,122 @@ def rasterize_pallas_forward(means_cam, quats_wxyz, scales, opacities,
     return _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities,
                                   colors, K4, cfg, bg, None, interpret,
                                   bins=bins)
+
+
+# ---------------------------------------------------------------------------
+# fused multi-view render: ONE blend kernel call for V views
+# ---------------------------------------------------------------------------
+
+def _image_maps(Opx, dsum, mdep, T, bg, K4, cfg: RasterizeConfig):
+    """Per-view image-space output assembly from untiled accumulators —
+    the tail of _rasterize_pallas_impl, shared with the fused path.
+    Opx (n_tiles, PX, 8), dsum/mdep/T (n_tiles, PX, 1)."""
+    fx, fy = K4[0], K4[1]
+    csum = Opx[..., 0:3]
+    nsum = Opx[..., 3:6]
+    wsum = Opx[..., 6:7]
+    color_img = _untile(csum, cfg) + _untile(T, cfg) * bg
+    w = _untile(wsum, cfg)[..., 0]
+    anyc = w > 0
+    w_safe = jnp.where(anyc, jnp.maximum(w, 1e-12), 1.0)
+    yy, xx = jnp.meshgrid(jnp.arange(cfg.height, dtype=jnp.float32),
+                          jnp.arange(cfg.width, dtype=jnp.float32),
+                          indexing="ij")
+    pnx = (xx - cfg.width / 2.0) / fx
+    pny = (yy - cfg.height / 2.0) / fy
+    ln = jnp.sqrt(pnx * pnx + pny * pny + 1.0)
+    depth = jnp.where(anyc, _untile(dsum, cfg)[..., 0] / ln / w_safe, 0.0)
+    mdepth = _untile(mdep, cfg)[..., 0] / ln
+    nsum_img = _untile(nsum, cfg)
+    nlen = jnp.sqrt(jnp.sum(nsum_img ** 2, -1, keepdims=True)
+                    + NORMALIZE_EPS ** 2)
+    normal = jnp.where(anyc[..., None], nsum_img / nlen, 0.0)
+    return {"color": color_img, "alpha": w, "depth": depth,
+            "mdepth": mdepth, "normal": normal}
+
+
+def _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales, opacities,
+                                 colors, K4, cfg: RasterizeConfig, bg,
+                                 interpret: bool, bins=None):
+    """Fused V-view render: ONE Pallas blend (and ONE backward) over the
+    concatenated V * n_tiles tile rows.
+
+    means_cam (V, P, 3) / quats_wxyz (V, P, 4) are per-view CAMERA-frame
+    Gaussians; scales/opacities/colors are the shared world attributes.
+    The sequential alternative — a lax.scan of single-view renders — pays
+    V× the fixed per-stage cost (kernel ramp-up, small-op dispatch,
+    per-view scatter in the backward); here the occupancy sort, the blend
+    grid, and the pack-gradient scatter all amortize across the views
+    (the windowed mapping optimizer's per-iteration render count is the
+    dominant live cost, gs_backend_per_frame.py:451-594). Outputs carry a
+    leading V axis; per-view results equal rasterize_pallas to float
+    tolerance (tests/test_gs_raster_pallas.py::test_multi_view_parity).
+    """
+    if bg is None:
+        bg = jnp.zeros(3, means_cam.dtype)
+    V = means_cam.shape[0]
+    P = means_cam.shape[1]
+    nt = cfg.n_tiles
+
+    pre = jax.vmap(lambda m, q: _preprocess(m, q, scales, opacities, K4,
+                                            cfg))(means_cam, quats_wxyz)
+    if bins is None:
+        entry_gauss, entry_mask = jax.vmap(
+            lambda p: _bin_gaussians(p, cfg))(pre)
+    else:
+        entry_gauss, entry_mask = bins[0], bins[1]
+        entry_mask = entry_mask & jax.vmap(
+            lambda val, eg: val[eg])(pre["valid"], entry_gauss)
+    counts = jnp.sum(entry_mask.astype(jnp.int32), axis=2)   # (V, nt)
+
+    # flatten views into one tile axis; entry indices offset per view so
+    # ONE row gather serves all views (its backward is ONE scatter-add)
+    K = cfg.max_per_tile
+    voff = (jnp.arange(V, dtype=jnp.int32) * P)[:, None, None]
+    eg_flat = (entry_gauss + voff).reshape(V * nt, K)
+    mask_flat = entry_mask.reshape(V * nt, K)
+    counts_flat = counts.reshape(V * nt)
+
+    # occupancy sort across ALL views' tiles (better batch balance than
+    # per-view: busy tiles of different views share TB batches)
+    order = jnp.argsort(-counts_flat)
+    inv_order = jnp.argsort(order)
+    eg_flat = eg_flat[order]
+    mask_flat = mask_flat[order]
+    counts_flat = counts_flat[order]
+
+    ox1, oy1 = _tile_origins(cfg)
+    ox = jnp.tile(ox1, (V,))[order]
+    oy = jnp.tile(oy1, (V,))[order]
+    raw = jax.vmap(lambda p: _build_raw(p, colors))(pre)      # (V, P, 16)
+    G = raw.reshape(V * P, NCH)[eg_flat]                      # (VT, K, 16)
+    A = _assemble_A(G, ox, oy, mask_flat)
+
+    _, chunk = _pick_tb_chunk(V * nt, cfg.chunk)
+    A = _pad_entries(A, chunk)
+    O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, interpret),
+                                         counts_flat, A)
+    O = O[inv_order].reshape(V, nt, R_CH, PX)
+    dsum3 = dsum3[inv_order].reshape(V, nt, 1, PX)
+    mdep3 = mdep3[inv_order].reshape(V, nt, 1, PX)
+    T3 = T3[inv_order].reshape(V, nt, 1, PX)
+
+    maps = jax.vmap(lambda o, d, md, t: _image_maps(
+        o.swapaxes(1, 2), d.swapaxes(1, 2), md.swapaxes(1, 2),
+        t.swapaxes(1, 2), bg, K4, cfg))(O, dsum3, mdep3, T3)
+    maps["radii"] = pre["radius"]                             # (V, P)
+    maps["visibility"] = pre["valid"] & (pre["radius"] > 0)   # (V, P)
+    return maps
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def rasterize_pallas_multi(means_cam, quats_wxyz, scales, opacities,
+                           colors, K4, cfg: RasterizeConfig, bg=None,
+                           interpret: bool = False, bins=None):
+    """Differentiable fused multi-view render (see impl docstring).
+    ``bins``: optional stacked (V, n_tiles, K) binning from a lax.map of
+    compute_bins (slam/mapping.py _bin_window) — reused across an
+    optimization segment like the single-view path."""
+    return _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales,
+                                        opacities, colors, K4, cfg, bg,
+                                        interpret, bins=bins)

@@ -35,8 +35,21 @@ __all__ = ["GaussianArena", "seed_from_pointmap", "densify_and_prune",
 SH_C0 = 0.28209479177387814
 
 
+# Seeded colors are inset from [0, 1] by half a u8 quantization step so
+# no Gaussian INITIALIZES exactly on the renderer's clip(SH2RGB, 0, ...)
+# boundary: at an exact-0 pre-clip value the clip subgradient is
+# ill-defined and XLA's fma-vs-mul+add association choice (which differs
+# between compiled programs, e.g. the fused multi-view window render vs
+# the per-view scan) flips it between 0 and 0.5 — phantom f_dc gradients
+# that break cross-program parity. Black/white u8 pixels hit the
+# boundary EXACTLY without this (0/255 -> pre-clip 0.0); the 1/510
+# inset is invisible (< half the u8 step) and also keeps the seed off
+# the zero-gradient clamp plateau.
+_COLOR_INSET = 1.0 / 510.0
+
+
 def RGB2SH(rgb):
-    return (rgb - 0.5) / SH_C0
+    return (jnp.clip(rgb, _COLOR_INSET, 1.0 - _COLOR_INSET) - 0.5) / SH_C0
 
 
 def SH2RGB(sh):

@@ -40,7 +40,8 @@ from ..geometry.quaternion import quat_normalize
 from .camera import CameraBuffer, se3_delta_to_matrix
 from .gaussian_map import (GaussianArena, seed_from_pointmap,
                            densify_and_prune, last_alive_bound)
-from .renderer import render_view, bin_view, _quat_mult_wxyz
+from .renderer import (render_view, render_window, bin_view,
+                       _quat_mult_wxyz)
 
 __all__ = ["MappingConfig", "MappingBackend"]
 
@@ -94,6 +95,7 @@ class MappingConfig:
     compensate_exposure: bool = True
     # "auto": Pallas tile kernels on TPU, XLA scan elsewhere
     raster_backend: str = "auto"  # "auto" | "pallas" | "xla"
+    raster_interpret: bool = False  # Pallas interpret mode (CPU testing)
     # Live-prefix bucketing: hot programs (pose refine, window
     # optimization, global BA, data_update renders) run on
     # arena[:bucket], where bucket is the smallest capacity/div
@@ -104,6 +106,14 @@ class MappingConfig:
     # size is a distinct compiled program (lazy, cached).
     bucket_live_prefix: bool = True
     bucket_divs: Tuple[int, ...] = (8, 4, 2, 1)
+    # Fused multi-view window rendering (Pallas backend only): each
+    # window-optimization iteration renders ALL its views through ONE
+    # blend kernel + ONE backward (ops/gs_raster_pallas.
+    # rasterize_pallas_multi) instead of a rematerialized scan of
+    # single-view renders — per-render fixed costs amortize V-fold and
+    # the forward recompute disappears. Same math; the XLA backend (CPU
+    # tests) keeps the sequential scan.
+    fused_window_render: bool = True
 
 
 def _mask_grads(grads, alive):
@@ -150,7 +160,7 @@ class MappingBackend:
         self.raster_cfg = RasterizeConfig(
             height=cfg.height, width=cfg.width,
             max_per_tile=cfg.max_per_tile, kernel_size=cfg.kernel_size,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, interpret=cfg.raster_interpret)
         self.arena = GaussianArena.empty(cfg.capacity)
         self.adam = _adam_init(self.arena.params())
         self.cams = CameraBuffer.empty(cfg.cam_capacity, cfg.height, cfg.width)
@@ -303,9 +313,69 @@ class MappingBackend:
         # views the passed arrays hold (full window sequentially, or one
         # device's shard under parallel/mapping.make_parallel_optimize —
         # the view count comes from images.shape[0], not the config).
+        def _view_terms(out, image, expo_a, expo_b, gt_d):
+            """Per-view loss terms from rendered maps (shared by the
+            fused multi-view path — vmapped — and the sequential scan)."""
+            img = out["color"]
+            if cfg.compensate_exposure:
+                img = img @ expo_a + expo_b
+            d = out["depth"]
+            rgb_l = 0.8 * jnp.abs(image - img).mean() \
+                + 0.2 * (1 - ssim(img, image))
+            dmask = jax.lax.stop_gradient((gt_d > 1e-3) & (d > 1e-3))
+            inv_d = jnp.where(dmask, 1.0 / jnp.maximum(d, 1e-6)
+                              - 1.0 / jnp.maximum(gt_d, 1e-6), 0.0)
+            depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
+            dn = depth_to_normal(d, K4)
+            gdn = depth_to_normal(gt_d, K4)
+            norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
+                / jnp.maximum(dmask.sum(), 1.0)
+            return rgb_l, depth_l, norm_l
+
+        def _iso_term(params, vis):
+            scales = jnp.exp(params["log_scales"])
+            return (jnp.abs(scales - scales.mean(1, keepdims=True)).mean(1)
+                    * vis).sum() / jnp.maximum(vis.sum(), 1.0)
+
+        def window_loss_fused(params, pose_deltas, exposure, alive, images,
+                              depths_gt, w2c_base, weights, optimize_pose,
+                              bins=None):
+            """Fused multi-view variant: ONE Pallas blend fwd (+ ONE bwd)
+            renders the whole window per iteration instead of a scan of
+            V single-view renders — the per-render fixed costs (kernel
+            ramp-up, small-op dispatch, the pack-gradient scatter)
+            amortize V-fold, and no remat recompute is needed: the fused
+            program's residuals (packed A + per-chunk transmittance) fit
+            HBM at W=10/512x384/2^17 where the scan's XLA-AD residuals
+            did not. Same math as the scan path (the loss is a weighted
+            sum of independent per-view terms); parity is asserted in
+            tests/test_mapping.py::test_window_loss_fused_parity."""
+            V = images.shape[0]
+            tds = pose_deltas["t"] if optimize_pose else jnp.zeros((V, 3))
+            rds = pose_deltas["r"] if optimize_pose else jnp.zeros((V, 3))
+            outs = render_window(params, alive, w2c_base, K4, rcfg,
+                                 trans_deltas=tds, rot_deltas=rds,
+                                 bins=bins)
+            rgb_l, depth_l, norm_l = jax.vmap(
+                lambda o, im, ea, eb, gd: _view_terms(o, im, ea, eb, gd))(
+                {k: outs[k] for k in ("color", "depth")}, images,
+                exposure["a"], exposure["b"], depths_gt)
+            iso = jax.vmap(lambda v: _iso_term(params, v))(
+                outs["visibility"])
+            losses = (rgb_l + cfg.lambda_depth * depth_l
+                      + cfg.lambda_normal * norm_l + cfg.lambda_iso * iso)
+            total = (losses * weights).sum()
+            return total, (outs["radii"], outs["visibility"])
+
         def window_loss_raw(params, pose_deltas, exposure, alive, images,
                             depths_gt, w2c_base, weights, optimize_pose,
                             bins=None):
+            if rcfg.use_pallas and cfg.fused_window_render:
+                return window_loss_fused(params, pose_deltas, exposure,
+                                         alive, images, depths_gt,
+                                         w2c_base, weights, optimize_pose,
+                                         bins=bins)
+
             def per_view(i):
                 td = pose_deltas["t"][i] if optimize_pose else jnp.zeros(3)
                 rd = pose_deltas["r"][i] if optimize_pose else jnp.zeros(3)
@@ -315,25 +385,11 @@ class MappingBackend:
                 out = render_view(params, alive, w2c_base[i], K4, rcfg,
                                   trans_delta=td, rot_delta=rd,
                                   means2d_probe=probe, bins=vbins)
-                img = out["color"]
-                if cfg.compensate_exposure:
-                    img = img @ exposure["a"][i] + exposure["b"][i]
-                gt = images[i]
-                d = out["depth"]
-                gt_d = depths_gt[i]
-                rgb_l = 0.8 * jnp.abs(gt - img).mean() + 0.2 * (1 - ssim(img, gt))
-                dmask = jax.lax.stop_gradient((gt_d > 1e-3) & (d > 1e-3))
-                inv_d = jnp.where(dmask, 1.0 / jnp.maximum(d, 1e-6)
-                                  - 1.0 / jnp.maximum(gt_d, 1e-6), 0.0)
-                depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
-                dn = depth_to_normal(d, K4)
-                gdn = depth_to_normal(gt_d, K4)
-                norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
-                    / jnp.maximum(dmask.sum(), 1.0)
-                scales = jnp.exp(params["log_scales"])
+                rgb_l, depth_l, norm_l = _view_terms(
+                    out, images[i], exposure["a"][i], exposure["b"][i],
+                    depths_gt[i])
                 vis = out["visibility"]
-                iso = (jnp.abs(scales - scales.mean(1, keepdims=True)).mean(1)
-                       * vis).sum() / jnp.maximum(vis.sum(), 1.0)
+                iso = _iso_term(params, vis)
                 loss = (rgb_l + cfg.lambda_depth * depth_l
                         + cfg.lambda_normal * norm_l + cfg.lambda_iso * iso)
                 return loss, out["radii"], vis

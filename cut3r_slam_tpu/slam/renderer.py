@@ -18,7 +18,8 @@ from ..geometry.quaternion import (matrix_to_quat, xyzw_to_wxyz)
 from .camera import se3_delta_to_matrix
 from .gaussian_map import SH2RGB
 
-__all__ = ["render_view", "transform_to_frame", "bin_view"]
+__all__ = ["render_view", "render_window", "transform_to_frame",
+           "bin_view"]
 
 
 def _quat_mult_wxyz(q1, q2):
@@ -73,10 +74,39 @@ def render_view(params: Dict[str, jax.Array], alive: jax.Array,
         return rasterize_pallas(means_cam, quats_cam,
                                 jnp.exp(params["log_scales"]), opac, colors,
                                 K4, cfg, bg=bg, means2d_probe=means2d_probe,
-                                bins=bins)
+                                bins=bins, interpret=cfg.interpret)
     return rasterize(means_cam, quats_cam, jnp.exp(params["log_scales"]),
                      opac, colors, K4, cfg, bg=bg,
                      means2d_probe=means2d_probe, bins=bins)
+
+
+def render_window(params: Dict[str, jax.Array], alive: jax.Array,
+                  w2c_base: jax.Array, K4: jax.Array, cfg: RasterizeConfig,
+                  trans_deltas: Optional[jax.Array] = None,
+                  rot_deltas: Optional[jax.Array] = None,
+                  bins=None):
+    """Render V views in ONE fused program (Pallas backend only).
+
+    w2c_base (V, 4, 4); trans/rot_deltas (V, 3) optional per-view pose
+    deltas. Returns per-view stacked maps (V, H, W, ...). The windowed
+    mapping optimizer renders its whole window through this — one blend
+    kernel + one backward per iteration instead of V sequential renders
+    (gs_backend_per_frame.py:451-594 loops views; on TPU the fixed
+    per-render cost dominates, so the fusion is the idiomatic shape).
+    """
+    from ..ops.gs_raster_pallas import rasterize_pallas_multi
+    w2c = w2c_base
+    if trans_deltas is not None:
+        M = jax.vmap(se3_delta_to_matrix)(trans_deltas, rot_deltas)
+        w2c = jnp.einsum("vij,vjk->vik", M, w2c_base)
+    means_cam, quats_cam = jax.vmap(
+        lambda w: transform_to_frame(params, w))(w2c)
+    opac = jax.nn.sigmoid(params["opacity_logit"]) * alive.astype(jnp.float32)
+    colors = jnp.clip(SH2RGB(params["f_dc"]), 0.0, None)
+    return rasterize_pallas_multi(means_cam, quats_cam,
+                                  jnp.exp(params["log_scales"]), opac,
+                                  colors, K4, cfg, bins=bins,
+                                  interpret=cfg.interpret)
 
 
 def bin_view(params: Dict[str, jax.Array], alive: jax.Array,

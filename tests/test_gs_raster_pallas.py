@@ -132,6 +132,80 @@ def test_pallas_probe_grad_matches_xla():
     np.testing.assert_allclose(b / scale, a / scale, atol=5e-4)
 
 
+def test_multi_view_fused_parity():
+    """rasterize_pallas_multi (ONE blend over V*n_tiles tiles) must match
+    per-view rasterize_pallas on every output AND on the gradients of a
+    window-style loss — the fused path is what the mapping optimizer
+    runs per iteration (slam/mapping.py window_loss_fused)."""
+    import jax
+    from cut3r_slam_tpu.ops.gs_raster_pallas import (rasterize_pallas,
+                                                     rasterize_pallas_multi)
+    means, quats, scales, opac, colors = _scene(60)
+    V = 3
+    # three nearby camera poses as per-view CAMERA-frame transforms
+    w2cs = []
+    for i in range(V):
+        th = 0.05 * i
+        R = np.asarray([[np.cos(th), 0, np.sin(th)],
+                        [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        t = np.asarray([0.02 * i, -0.01 * i, 0.03 * i], np.float32)
+        w2cs.append((R, t))
+
+    def to_cam(m, q, R, t):
+        mc = m @ R.T + t
+        # rotate quats by R (wxyz)
+        from cut3r_slam_tpu.geometry.quaternion import (matrix_to_quat,
+                                                        xyzw_to_wxyz)
+        from cut3r_slam_tpu.slam.renderer import _quat_mult_wxyz
+        qr = xyzw_to_wxyz(matrix_to_quat(jnp.asarray(R)))
+        return mc, _quat_mult_wxyz(qr[None], q)
+
+    mc_list, qc_list = zip(*[to_cam(means, quats, jnp.asarray(R),
+                                    jnp.asarray(t)) for R, t in w2cs])
+    mc = jnp.stack(mc_list)
+    qc = jnp.stack(qc_list)
+
+    multi = rasterize_pallas_multi(mc, qc, scales, opac, colors, K4, CFG,
+                                   interpret=True)
+    for v in range(V):
+        single = rasterize_pallas(mc[v], qc[v], scales, opac, colors, K4,
+                                  CFG, interpret=True)
+        for k in ("color", "alpha", "depth", "mdepth", "normal"):
+            np.testing.assert_allclose(np.asarray(multi[k][v]),
+                                       np.asarray(single[k]), atol=1e-4,
+                                       err_msg=f"{k} view {v}")
+        np.testing.assert_array_equal(np.asarray(multi["visibility"][v]),
+                                      np.asarray(single["visibility"]))
+
+    # gradients of a weighted multi-view loss wrt the SHARED attributes
+    wts = jnp.asarray([1.0, 0.7, 0.3])
+
+    def loss_multi(m, s, o, c):
+        out = rasterize_pallas_multi(m, qc, s, o, c, K4, CFG,
+                                     interpret=True)
+        per = out["color"].mean((1, 2, 3)) + out["depth"].mean((1, 2))
+        return (per * wts).sum()
+
+    def loss_seq(m, s, o, c):
+        tot = 0.0
+        for v in range(V):
+            out = rasterize_pallas(m[v], qc[v], s, o, c, K4, CFG,
+                                   interpret=True)
+            tot = tot + wts[v] * (out["color"].mean() + out["depth"].mean())
+        return tot
+
+    g_m = jax.grad(loss_multi, argnums=(0, 1, 2, 3))(mc, scales, opac,
+                                                     colors)
+    g_s = jax.grad(loss_seq, argnums=(0, 1, 2, 3))(mc, scales, opac,
+                                                   colors)
+    for n, a, b in zip(["means", "scales", "opac", "colors"], g_s, g_m):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-4,
+                                   err_msg=n)
+
+
 # ---------------------------------------------------------------------------
 # compiled-mode parity (VERDICT r2 #2) — runs ONLY when a TPU is present;
 # conftest pins tests to CPU, so this spawns nothing on CPU-only hosts.

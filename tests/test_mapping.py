@@ -163,3 +163,68 @@ def test_live_prefix_bucket_parity():
         be.optimization(20, [0], optimize_pose=False)
         outs[bucketed] = np.asarray(be.arena.xyz)
     assert np.allclose(outs[True], outs[False], atol=1e-6)
+
+
+def test_window_loss_fused_parity():
+    """The fused multi-view window loss (ONE Pallas blend over the whole
+    window, slam/mapping.py window_loss_fused) must match the sequential
+    per-view scan in VALUE and GRADIENTS — value via the XLA backend
+    oracle, grads between the two pallas paths (interpret mode)."""
+    img, depth = _make_scene()
+    pm = np.asarray(depth_to_pointmap(jnp.asarray(depth), jnp.asarray(K4)))
+    colors = img.astype(np.float32) / 255.0
+    mask = np.ones((H, W), bool)
+
+    def build(backend_kind, fused):
+        cfg = MappingConfig(height=H, width=W, capacity=1024,
+                            cam_capacity=8, window_size=2,
+                            max_per_tile=256,
+                            raster_backend=backend_kind,
+                            raster_interpret=(backend_kind == "pallas"),
+                            fused_window_render=fused)
+        be = MappingBackend(cfg, K4)
+        be.add_keyframe(0, img, depth, np.eye(4, dtype=np.float32))
+        be.seed(0, pm[::2, ::2], colors[::2, ::2], mask[::2, ::2],
+                submap_idx=0)
+        return be
+
+    # a 2-view window: identity + slightly rotated second camera
+    d2 = se3_matrix(se3_exp(jnp.asarray([0.01, -0.01, 0.02,
+                                         0.01, 0.0, -0.01])))
+    w2c = jnp.stack([jnp.eye(4), d2])
+    images = jnp.stack([jnp.asarray(img, jnp.float32) / 255.0] * 2)
+    depths = jnp.stack([jnp.asarray(depth)] * 2)
+    weights = jnp.asarray([1.0, 0.6])
+
+    results = {}
+    for name, be in (("xla", build("xla", False)),
+                     ("pallas_seq", build("pallas", False)),
+                     ("pallas_fused", build("pallas", True))):
+        params = be.arena.params()
+        V = 2
+        pd = {"t": jnp.zeros((V, 3)), "r": jnp.zeros((V, 3))}
+        ex = {"a": jnp.stack([jnp.eye(3)] * V), "b": jnp.zeros((V, 3))}
+
+        def loss(params, pd, ex):
+            tot, _ = be._window_loss_raw(params, pd, ex, be.arena.alive,
+                                         images, depths, w2c, weights,
+                                         True)
+            return tot / weights.sum()
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            params, pd, ex)
+        results[name] = (float(val), grads)
+
+    v_ref = results["xla"][0]
+    for name in ("pallas_seq", "pallas_fused"):
+        assert abs(results[name][0] - v_ref) < 1e-3 * max(abs(v_ref), 1.0), \
+            (name, results[name][0], v_ref)
+    # both pallas paths' gradients against the XLA-AD oracle
+    g_ref = jax.tree.leaves(results["xla"][1])
+    for name in ("pallas_seq", "pallas_fused"):
+        for i, (a, b) in enumerate(zip(g_ref,
+                                       jax.tree.leaves(results[name][1]))):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-6
+            np.testing.assert_allclose(b / scale, a / scale, atol=2e-3,
+                                       err_msg=f"{name} leaf {i}")
