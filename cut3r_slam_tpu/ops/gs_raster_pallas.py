@@ -724,7 +724,7 @@ def _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales, opacities,
     (the windowed mapping optimizer's per-iteration render count is the
     dominant live cost, gs_backend_per_frame.py:451-594). Outputs carry a
     leading V axis; per-view results equal rasterize_pallas to float
-    tolerance (tests/test_gs_raster_pallas.py::test_multi_view_parity).
+    tolerance (tests/test_gs_raster_pallas.py::test_multi_view_fused_parity).
     """
     if bg is None:
         bg = jnp.zeros(3, means_cam.dtype)

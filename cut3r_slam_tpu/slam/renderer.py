@@ -96,7 +96,11 @@ def render_window(params: Dict[str, jax.Array], alive: jax.Array,
     """
     from ..ops.gs_raster_pallas import rasterize_pallas_multi
     w2c = w2c_base
-    if trans_deltas is not None:
+    if trans_deltas is not None or rot_deltas is not None:
+        if trans_deltas is None:
+            trans_deltas = jnp.zeros_like(rot_deltas)
+        if rot_deltas is None:
+            rot_deltas = jnp.zeros_like(trans_deltas)
         M = jax.vmap(se3_delta_to_matrix)(trans_deltas, rot_deltas)
         w2c = jnp.einsum("vij,vjk->vik", M, w2c_base)
     means_cam, quats_cam = jax.vmap(

@@ -19,7 +19,8 @@ from ..geometry.pointmap import geotrf
 
 __all__ = ["regr3d_pose_loss", "conf_loss", "rgb_loss", "cut3r_total_loss",
            "depth_scale_shift_inv_loss", "scale_inv_loss",
-           "regr3d_pose_batchlist_loss", "cut3r_batchlist_total_loss"]
+           "regr3d_pose_batchlist_loss", "cut3r_batchlist_total_loss",
+           "find_opt_scaling"]
 
 
 def _avg_dis_norm(pts: jax.Array, valid: jax.Array, eps: float = 1e-8):
@@ -153,6 +154,83 @@ def scale_inv_loss(pred_pts: jax.Array, gt_pts: jax.Array,
 def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     m = mask.astype(x.dtype)
     return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def find_opt_scaling(gt_pts1: jax.Array, gt_pts2, pr_pts1: jax.Array,
+                     pr_pts2=None, fit_mode: str = "weiszfeld_stop_grad",
+                     valid1=None, valid2=None) -> jax.Array:
+    """Per-batch optimal gt->pred scale factor
+    (/root/reference/src/dust3r/inference.py:329-388 find_opt_scaling).
+
+    Solves min_s || pr - s*gt || over the valid points of (up to) two
+    views, per batch element. ``avg``: closed-form least squares on the
+    per-point dot products; ``median``: median of per-point ratios;
+    ``weiszfeld``: 10 IRLS iterations with 1/residual-distance weights
+    (a geometric-median refinement of the avg start). Modes ending in
+    ``_stop_grad`` detach the result. The torch code carries invalid
+    points as NaNs and nanmean/nanmedian's over them; here invalid points
+    get weight 0 in masked reductions (same math, no NaNs under jit).
+
+    gt/pr pts: (B, H, W, 3); valid: (B, H, W) bool or None (all valid).
+    Returns (B,) scaling, clipped to >= 1e-3.
+    """
+    def flat(pts, valid):
+        B = pts.shape[0]
+        p = pts.reshape(B, -1, 3)
+        if valid is None:
+            m = jnp.ones(p.shape[:2], pts.dtype)
+        else:
+            m = valid.reshape(B, -1).astype(pts.dtype)
+        return p, m
+
+    g1, m1 = flat(gt_pts1, valid1)
+    p1, _ = flat(pr_pts1, valid1)
+    if gt_pts2 is not None:
+        g2, m2 = flat(gt_pts2, valid2)
+        p2, _ = flat(pr_pts2, valid2)
+        all_gt = jnp.concatenate([g1, g2], axis=1)
+        all_pr = jnp.concatenate([p1, p2], axis=1)
+        m = jnp.concatenate([m1, m2], axis=1)
+    else:
+        all_gt, all_pr, m = g1, p1, m1
+
+    dot_gt_pr = jnp.sum(all_pr * all_gt, axis=-1)      # (B, N)
+    dot_gt_gt = jnp.sum(all_gt * all_gt, axis=-1)
+    cnt = jnp.maximum(m.sum(1), 1.0)
+
+    def wmean(x, w):
+        return jnp.sum(x * w, axis=1) / jnp.maximum(w.sum(1), 1e-12)
+
+    if fit_mode.startswith("avg"):
+        scaling = (jnp.sum(dot_gt_pr * m, 1) / cnt) \
+            / jnp.maximum(jnp.sum(dot_gt_gt * m, 1) / cnt, 1e-12)
+    elif fit_mode.startswith("median"):
+        # masked median: invalid entries to +inf, take the k-th order
+        # statistic at k = (n_valid - 1) / 2 interpolated like
+        # torch.nanmedian (lower median)
+        ratio = jnp.where(m > 0, dot_gt_pr / jnp.maximum(dot_gt_gt, 1e-12),
+                          jnp.inf)
+        srt = jnp.sort(ratio, axis=1)
+        k = ((m.sum(1) - 1) / 2).astype(jnp.int32).clip(0)
+        scaling = jnp.take_along_axis(srt, k[:, None], axis=1)[:, 0]
+    elif fit_mode.startswith("weiszfeld"):
+        scaling = (jnp.sum(dot_gt_pr * m, 1) / cnt) \
+            / jnp.maximum(jnp.sum(dot_gt_gt * m, 1) / cnt, 1e-12)
+
+        def body(s, _):
+            d = all_pr - s[:, None, None] * all_gt
+            dis = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+            w = m / jnp.maximum(dis, 1e-8)
+            s = wmean(dot_gt_pr, w) / jnp.maximum(
+                wmean(dot_gt_gt, w), 1e-12)
+            return s, None
+        scaling, _ = jax.lax.scan(body, scaling, None, length=10)
+    else:
+        raise ValueError(f"bad {fit_mode=}")
+
+    if fit_mode.endswith("stop_grad"):
+        scaling = jax.lax.stop_gradient(scaling)
+    return jnp.maximum(scaling, 1e-3)
 
 
 def regr3d_pose_batchlist_loss(pred: Dict[str, jax.Array],

@@ -264,3 +264,66 @@ def test_pallas_compiled_on_tpu_matches_xla():
     gx = np.asarray(jax.jit(jax.grad(loss(rasterize, None)))(means))
     rel = np.abs(gp - gx).max() / (np.abs(gx).max() + 1e-12)
     assert rel < 5e-3, rel
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="no TPU in this host")
+def test_pallas_multi_compiled_on_tpu_matches_single():
+    """Mosaic-COMPILED multi-view fused blend vs per-view compiled
+    renders (ADVICE r4 #3): the fused path is the production TPU window
+    optimizer (MappingConfig.fused_window_render), and its compiled grid
+    (V*n_tiles tiles, different TB selection) is otherwise only covered
+    in interpret mode. Values AND gradients of a window-style loss."""
+    import jax
+    dev = jax.devices("tpu")[0]
+    n = 4096
+    Ht = Wt = 128
+    K4t = jnp.asarray([0.9 * Wt, 0.9 * Wt, Wt / 2, Ht / 2])
+    cfg = RasterizeConfig(height=Ht, width=Wt, max_per_tile=256)
+    rng = np.random.default_rng(1)
+    means = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    means = means.at[:, 2].add(4.0)
+    quats = jnp.tile(jnp.asarray([1., 0, 0, 0], jnp.float32), (n, 1))
+    scales = jnp.full((n, 3), 0.02, jnp.float32)
+    opac = jnp.full((n,), 0.8, jnp.float32)
+    cols = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    V = 3
+    offs = jnp.asarray(np.stack([rng.uniform(-0.05, 0.05, 3)
+                                 for _ in range(V)]), jnp.float32)
+    mc = means[None] + offs[:, None, :]
+    qc = jnp.tile(quats[None], (V, 1, 1))
+    mc, qc, scales, opac, cols, K4t = jax.device_put(
+        (mc, qc, scales, opac, cols, K4t), dev)
+
+    from cut3r_slam_tpu.ops.gs_raster_pallas import (rasterize_pallas,
+                                                     rasterize_pallas_multi)
+    multi = rasterize_pallas_multi(mc, qc, scales, opac, cols, K4t, cfg)
+    for v in range(V):
+        single = rasterize_pallas(mc[v], qc[v], scales, opac, cols, K4t,
+                                  cfg)
+        for k, tol in (("color", 1e-3), ("alpha", 1e-3), ("depth", 2e-3),
+                       ("normal", 1e-3)):
+            np.testing.assert_allclose(np.asarray(multi[k][v]),
+                                       np.asarray(single[k]), atol=tol,
+                                       err_msg=f"{k} view {v}")
+
+    wts = jnp.asarray([1.0, 0.7, 0.3])
+
+    def loss_multi(m, c):
+        out = rasterize_pallas_multi(m, qc, scales, opac, c, K4t, cfg)
+        per = out["color"].mean((1, 2, 3)) + out["depth"].mean((1, 2))
+        return (per * wts).sum()
+
+    def loss_seq(m, c):
+        tot = 0.0
+        for v in range(V):
+            out = rasterize_pallas(m[v], qc[v], scales, opac, c, K4t, cfg)
+            tot = tot + wts[v] * (out["color"].mean() + out["depth"].mean())
+        return tot
+
+    g_m = jax.jit(jax.grad(loss_multi, argnums=(0, 1)))(mc, cols)
+    g_s = jax.jit(jax.grad(loss_seq, argnums=(0, 1)))(mc, cols)
+    for nm, a, b in zip(["means", "colors"], g_s, g_m):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-3,
+                                   err_msg=nm)

@@ -169,3 +169,78 @@ class TestBatchList:
 
         g = jax.grad(f)(pred["pts3d_in_self_view"])
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def _torch_find_opt_scaling(gt1, gt2, pr1, pr2, fit_mode, v1, v2):
+    """Reference semantics (src/dust3r/inference.py:329-388) with
+    invalid-as-NaN masking + nanmean/nanmedian."""
+    import torch
+
+    def nanify(pts, valid):
+        t = torch.from_numpy(pts).clone()
+        if valid is not None:
+            t[~torch.from_numpy(valid)] = float("nan")
+        return t.flatten(1, 2)
+
+    all_gt = nanify(gt1, v1)
+    all_pr = nanify(pr1, v1)
+    if gt2 is not None:
+        all_gt = torch.cat((all_gt, nanify(gt2, v2)), dim=1)
+        all_pr = torch.cat((all_pr, nanify(pr2, v2)), dim=1)
+    dot_gt_pr = (all_pr * all_gt).sum(dim=-1)
+    dot_gt_gt = all_gt.square().sum(dim=-1)
+    if fit_mode.startswith("avg"):
+        s = dot_gt_pr.nanmean(dim=1) / dot_gt_gt.nanmean(dim=1)
+    elif fit_mode.startswith("median"):
+        s = (dot_gt_pr / dot_gt_gt).nanmedian(dim=1).values
+    else:
+        s = dot_gt_pr.nanmean(dim=1) / dot_gt_gt.nanmean(dim=1)
+        for _ in range(10):
+            dis = (all_pr - s.view(-1, 1, 1) * all_gt).norm(dim=-1)
+            w = dis.clip_(min=1e-8).reciprocal()
+            s = (w * dot_gt_pr).nanmean(dim=1) / \
+                (w * dot_gt_gt).nanmean(dim=1)
+    return s.clip(min=1e-3).numpy()
+
+
+class TestFindOptScalingTorchParity:
+    @pytest.mark.parametrize("fit_mode", ["avg", "median", "weiszfeld"])
+    @pytest.mark.parametrize("two_views", [False, True])
+    def test_parity(self, fit_mode, two_views):
+        from cut3r_slam_tpu.train.losses import find_opt_scaling
+        B, H, W = 3, 6, 8
+        gt1 = RNG.normal(0, 1, (B, H, W, 3)).astype(np.float32)
+        pr1 = (1.7 * gt1 + 0.05 * RNG.normal(size=gt1.shape)
+               ).astype(np.float32)
+        v1 = RNG.uniform(size=(B, H, W)) > 0.3
+        gt2 = pr2 = v2 = None
+        if two_views:
+            gt2 = RNG.normal(0, 1, (B, H, W, 3)).astype(np.float32)
+            pr2 = (1.7 * gt2 + 0.05 * RNG.normal(size=gt2.shape)
+                   ).astype(np.float32)
+            v2 = RNG.uniform(size=(B, H, W)) > 0.3
+        want = _torch_find_opt_scaling(gt1, gt2, pr1, pr2, fit_mode, v1, v2)
+        got = np.asarray(find_opt_scaling(
+            jnp.asarray(gt1), None if gt2 is None else jnp.asarray(gt2),
+            jnp.asarray(pr1), None if pr2 is None else jnp.asarray(pr2),
+            fit_mode=fit_mode,
+            valid1=jnp.asarray(v1),
+            valid2=None if v2 is None else jnp.asarray(v2)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_stop_grad(self):
+        import jax
+        from cut3r_slam_tpu.train.losses import find_opt_scaling
+        gt = jnp.asarray(RNG.normal(0, 1, (1, 4, 4, 3)), jnp.float32)
+        pr = 2.0 * gt
+
+        def f(p):
+            return find_opt_scaling(gt, None, p,
+                                    fit_mode="weiszfeld_stop_grad").sum()
+
+        assert float(jnp.abs(jax.grad(f)(pr)).sum()) == 0.0
+
+        def f2(p):
+            return find_opt_scaling(gt, None, p, fit_mode="avg").sum()
+
+        assert float(jnp.abs(jax.grad(f2)(pr)).sum()) > 0.0
