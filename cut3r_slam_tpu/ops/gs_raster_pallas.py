@@ -371,6 +371,66 @@ def _gather_entries_bwd(res, dG):
 _gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 
+# Segment-reduction strategy for the PLANNED pack backward (see
+# gs_raster.compute_bin_plan). All three are mathematically identical;
+# they differ only in how XLA lowers the entry -> Gaussian reduction:
+#   "segsum" — gather by the cached permutation, then a scatter-add with
+#              indices_are_sorted=True over contiguous segment ids (XLA
+#              skips the per-call index sort the plain scatter pays);
+#   "cumsum" — gather by the permutation, one prefix sum over the entry
+#              axis, then per-Gaussian boundary differences (no scatter
+#              at all; trades a log-pass cumsum for it);
+#   "take"   — per-Gaussian (n_gauss, max_dup) positional gather + sum.
+_PLAN_BWD_MODE = "segsum"
+
+
+@jax.custom_vjp
+def _gather_entries_planned(raw, entry_gauss_s, perm, bounds):
+    """raw (P, 16) -> (T, K, 16) per-entry rows, like _gather_entries,
+    but with the gradient reduction PRE-SORTED at bin time: ``perm``
+    groups the flat entry positions by Gaussian id and ``bounds`` marks
+    each Gaussian's segment (gs_raster.compute_bin_plan). The backward
+    needs no per-step index sort — the XLA scatter-add it replaces
+    measured 7.6 ms/step at the round-4 bench load."""
+    return raw[entry_gauss_s]
+
+
+def _gather_entries_planned_fwd(raw, entry_gauss_s, perm, bounds):
+    return raw[entry_gauss_s], (perm, bounds, raw.shape[0])
+
+
+def _gather_entries_planned_bwd(res, dG):
+    perm, bounds, P = res
+    T, K, C = dG.shape
+    ds = dG.reshape(T * K, C)[perm]          # grouped by gaussian id
+    if _PLAN_BWD_MODE == "cumsum":
+        cpad = jnp.concatenate(
+            [jnp.zeros((1, C), ds.dtype), jnp.cumsum(ds, axis=0)], axis=0)
+        dRaw = cpad[bounds[1:]] - cpad[bounds[:-1]]
+    elif _PLAN_BWD_MODE == "take":
+        D = 16  # max entries per gaussian = max_dup tile duplicates
+        pos = bounds[:-1, None] + jnp.arange(D, dtype=jnp.int32)[None, :]
+        ok = pos < bounds[1:, None]
+        ds_pad = jnp.concatenate([ds, jnp.zeros((1, C), ds.dtype)], axis=0)
+        pos = jnp.where(ok, pos, T * K)
+        dRaw = ds_pad[pos].sum(1)
+    else:  # "segsum"
+        # segment id of sorted entry i: the p with bounds[p] <= i <
+        # bounds[p+1]; entries past bounds[-1] are masked-off (sentinel
+        # segment) -> id P, dropped by the scatter's OOB semantics, and
+        # zeroed explicitly for safety
+        idx = jnp.arange(T * K, dtype=jnp.int32)
+        seg = jnp.searchsorted(bounds, idx, side="right") - 1
+        ds = jnp.where((idx >= bounds[-1])[:, None], 0.0, ds)
+        dRaw = jax.ops.segment_sum(ds, seg, num_segments=bounds.shape[0] - 1,
+                                   indices_are_sorted=True)
+    return dRaw, None, None, None
+
+
+_gather_entries_planned.defvjp(_gather_entries_planned_fwd,
+                               _gather_entries_planned_bwd)
+
+
 def _build_raw(pre, colors):
     """(P, 16) per-Gaussian packed attribute rows — built ONCE per render
     so the per-entry pack needs a single row gather (and its backward a
@@ -604,6 +664,7 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
     if means2d_probe is not None:
         pre["mean2d"] = pre["mean2d"] + means2d_probe
     inv_map = None
+    plan = None
     if bins is None:
         if need_inverse:
             entry_gauss, entry_mask, inv_map = _bin_gaussians(
@@ -612,7 +673,9 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
             entry_gauss, entry_mask = _bin_gaussians(pre, cfg)
     else:
         entry_gauss, entry_mask = bins[0], bins[1]
-        if need_inverse and len(bins) > 2:
+        if len(bins) >= 6:
+            plan = bins[2:6]  # (order, inv_order, perm, bounds)
+        elif need_inverse and len(bins) > 2:
             inv_map = bins[2]
         entry_mask = entry_mask & pre["valid"][entry_gauss]
     counts = jnp.sum(entry_mask.astype(jnp.int32), axis=1)  # (n_tiles,)
@@ -620,8 +683,14 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
     # occupancy sort: batch tiles by descending entry count so each
     # TB-batch's chunk bound (= its max count) tracks its actual work;
     # without it one busy tile makes its whole batch blend 512 entries.
-    order = jnp.argsort(-counts)
-    inv_order = jnp.argsort(order)
+    # With a cached plan the order was fixed at bin time (the fresh
+    # validity only perturbs counts marginally — batch balance, not
+    # results) so the gradient-reduction permutation stays valid.
+    if plan is not None:
+        order, inv_order = plan[0], plan[1]
+    else:
+        order = jnp.argsort(-counts)
+        inv_order = jnp.argsort(order)
     entry_gauss = entry_gauss[order]
     entry_mask = entry_mask[order]
     counts = counts[order]
@@ -632,8 +701,14 @@ def _rasterize_pallas_impl(means_cam, quats_wxyz, scales, opacities, colors,
         inv_map = jnp.where(inv_map >= 0,
                             inv_order[t_of] * Kp + inv_map % Kp, -1)
 
-    A = _pack_entries(pre, colors, entry_gauss, entry_mask, cfg,
-                      tile_order=order, inv_map=inv_map)
+    if plan is not None:
+        ox, oy = _tile_origins(cfg)
+        raw = _build_raw(pre, colors)
+        G = _gather_entries_planned(raw, entry_gauss, plan[2], plan[3])
+        A = _assemble_A(G, ox[order], oy[order], entry_mask)
+    else:
+        A = _pack_entries(pre, colors, entry_gauss, entry_mask, cfg,
+                          tile_order=order, inv_map=inv_map)
     _, chunk = _pick_tb_chunk(cfg.n_tiles, cfg.chunk)
     A = _pad_entries(A, chunk)
     O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, interpret), counts, A)
@@ -734,46 +809,83 @@ def _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales, opacities,
 
     pre = jax.vmap(lambda m, q: _preprocess(m, q, scales, opacities, K4,
                                             cfg))(means_cam, quats_wxyz)
+    K = cfg.max_per_tile
+    plan = None
     if bins is None:
         entry_gauss, entry_mask = jax.vmap(
             lambda p: _bin_gaussians(p, cfg))(pre)
     else:
         entry_gauss, entry_mask = bins[0], bins[1]
+        if len(bins) >= 6:
+            plan = bins[2:6]  # per-view stacked (order, inv, perm, bounds)
         entry_mask = entry_mask & jax.vmap(
             lambda val, eg: val[eg])(pre["valid"], entry_gauss)
-    counts = jnp.sum(entry_mask.astype(jnp.int32), axis=2)   # (V, nt)
 
-    # flatten views into one tile axis; entry indices offset per view so
-    # ONE row gather serves all views (its backward is ONE scatter-add)
-    K = cfg.max_per_tile
     voff = (jnp.arange(V, dtype=jnp.int32) * P)[:, None, None]
-    eg_flat = (entry_gauss + voff).reshape(V * nt, K)
-    mask_flat = entry_mask.reshape(V * nt, K)
-    counts_flat = counts.reshape(V * nt)
-
-    # occupancy sort across ALL views' tiles (better batch balance than
-    # per-view: busy tiles of different views share TB batches)
-    order = jnp.argsort(-counts_flat)
-    inv_order = jnp.argsort(order)
-    eg_flat = eg_flat[order]
-    mask_flat = mask_flat[order]
-    counts_flat = counts_flat[order]
-
     ox1, oy1 = _tile_origins(cfg)
-    ox = jnp.tile(ox1, (V,))[order]
-    oy = jnp.tile(oy1, (V,))[order]
     raw = jax.vmap(lambda p: _build_raw(p, colors))(pre)      # (V, P, 16)
-    G = raw.reshape(V * P, NCH)[eg_flat]                      # (VT, K, 16)
-    A = _assemble_A(G, ox, oy, mask_flat)
+
+    if plan is not None:
+        # cached per-view plans: rows sorted per view (the joint
+        # cross-view sort below needs fresh counts, which would
+        # invalidate the cached gradient-reduction permutation); the
+        # masked entries of each view sit between its last Gaussian
+        # segment and the next view's block and carry zero gradients
+        order_v, inv_order_v, perm_v, bounds_v = plan
+        eg_s = jnp.take_along_axis(entry_gauss, order_v[:, :, None], 1)
+        em_s = jnp.take_along_axis(entry_mask, order_v[:, :, None], 1)
+        eg_flat = (eg_s + voff).reshape(V * nt, K)
+        mask_flat = em_s.reshape(V * nt, K)
+        counts_flat = jnp.sum(mask_flat.astype(jnp.int32), axis=1)
+        ox = jax.vmap(lambda o: ox1[o])(order_v).reshape(-1)
+        oy = jax.vmap(lambda o: oy1[o])(order_v).reshape(-1)
+        ntK = nt * K
+        perm_flat = (perm_v
+                     + (jnp.arange(V, dtype=jnp.int32) * ntK)[:, None]
+                     ).reshape(-1)
+        bounds_flat = jnp.concatenate([
+            (bounds_v[:, :P]
+             + (jnp.arange(V, dtype=jnp.int32) * ntK)[:, None]
+             ).reshape(-1),
+            (V - 1) * ntK + bounds_v[-1, P:],
+        ])
+        G = _gather_entries_planned(raw.reshape(V * P, NCH), eg_flat,
+                                    perm_flat, bounds_flat)
+        A = _assemble_A(G, ox, oy, mask_flat)
+    else:
+        counts = jnp.sum(entry_mask.astype(jnp.int32), axis=2)  # (V, nt)
+        # flatten views into one tile axis; entry indices offset per
+        # view so ONE row gather serves all views (its backward is ONE
+        # scatter-add); occupancy sort across ALL views' tiles (better
+        # batch balance than per-view: busy tiles of different views
+        # share TB batches)
+        eg_flat = (entry_gauss + voff).reshape(V * nt, K)
+        mask_flat = entry_mask.reshape(V * nt, K)
+        counts_flat = counts.reshape(V * nt)
+        order = jnp.argsort(-counts_flat)
+        inv_order = jnp.argsort(order)
+        eg_flat = eg_flat[order]
+        mask_flat = mask_flat[order]
+        counts_flat = counts_flat[order]
+        ox = jnp.tile(ox1, (V,))[order]
+        oy = jnp.tile(oy1, (V,))[order]
+        G = raw.reshape(V * P, NCH)[eg_flat]                  # (VT, K, 16)
+        A = _assemble_A(G, ox, oy, mask_flat)
 
     _, chunk = _pick_tb_chunk(V * nt, cfg.chunk)
     A = _pad_entries(A, chunk)
     O, dsum3, mdep3, T3 = _blend_entries((cfg.chunk, interpret),
                                          counts_flat, A)
-    O = O[inv_order].reshape(V, nt, R_CH, PX)
-    dsum3 = dsum3[inv_order].reshape(V, nt, 1, PX)
-    mdep3 = mdep3[inv_order].reshape(V, nt, 1, PX)
-    T3 = T3[inv_order].reshape(V, nt, 1, PX)
+    if plan is not None:
+        unperm = (inv_order_v
+                  + (jnp.arange(V, dtype=jnp.int32) * nt)[:, None]
+                  ).reshape(-1)
+    else:
+        unperm = inv_order
+    O = O[unperm].reshape(V, nt, R_CH, PX)
+    dsum3 = dsum3[unperm].reshape(V, nt, 1, PX)
+    mdep3 = mdep3[unperm].reshape(V, nt, 1, PX)
+    T3 = T3[unperm].reshape(V, nt, 1, PX)
 
     maps = jax.vmap(lambda o, d, md, t: _image_maps(
         o.swapaxes(1, 2), d.swapaxes(1, 2), md.swapaxes(1, 2),

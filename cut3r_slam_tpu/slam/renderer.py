@@ -13,7 +13,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.gs_raster import RasterizeConfig, rasterize, compute_bins
+from ..ops.gs_raster import (RasterizeConfig, rasterize, compute_bins,
+                             compute_bin_plan)
 from ..geometry.quaternion import (matrix_to_quat, xyzw_to_wxyz)
 from .camera import se3_delta_to_matrix
 from .gaussian_map import SH2RGB
@@ -127,4 +128,10 @@ def bin_view(params: Dict[str, jax.Array], alive: jax.Array,
     opac = jax.nn.sigmoid(params["opacity_logit"]) * alive.astype(jnp.float32)
     means_cam, quats_cam, scales, opac = jax.lax.stop_gradient(
         (means_cam, quats_cam, jnp.exp(params["log_scales"]), opac))
-    return compute_bins(means_cam, quats_cam, scales, opac, K4, cfg)
+    eg, em = compute_bins(means_cam, quats_cam, scales, opac, K4, cfg)
+    if not cfg.use_pallas:
+        return eg, em
+    # Pallas: also hoist the pack-backward segment-reduction plan + the
+    # occupancy order to bin time (gs_raster.compute_bin_plan) — the
+    # renders of the segment then skip the per-step scatter index sort
+    return (eg, em) + compute_bin_plan(eg, em, params["xyz"].shape[0], cfg)

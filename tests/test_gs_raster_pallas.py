@@ -327,3 +327,108 @@ def test_pallas_multi_compiled_on_tpu_matches_single():
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-3,
                                    err_msg=nm)
+
+
+def test_planned_bins_grads_match_fresh():
+    """Cached-plan bins (compute_bin_plan: fixed occupancy order + the
+    pre-sorted pack-backward segment reduction) must reproduce the
+    fresh-binning render AND its gradients — the mapping optimizer runs
+    every segment render through this path."""
+    import jax
+    from cut3r_slam_tpu.ops.gs_raster import compute_bins, compute_bin_plan
+    from cut3r_slam_tpu.ops.gs_raster_pallas import rasterize_pallas
+    means, quats, scales, opac, colors = _scene(60)
+    eg, em = compute_bins(means, quats, scales, opac, K4, CFG)
+    plan = compute_bin_plan(eg, em, means.shape[0], CFG)
+    bins = (eg, em) + tuple(plan)
+
+    out_f = rasterize_pallas(means, quats, scales, opac, colors, K4, CFG,
+                             interpret=True)
+    out_p = rasterize_pallas(means, quats, scales, opac, colors, K4, CFG,
+                             interpret=True, bins=bins)
+    for k in ("color", "alpha", "depth", "mdepth", "normal"):
+        np.testing.assert_allclose(np.asarray(out_p[k]),
+                                   np.asarray(out_f[k]), atol=1e-5,
+                                   err_msg=k)
+
+    g_f = jax.grad(_loss_fn(rasterize_pallas, interpret=True),
+                   argnums=(0, 1, 2, 3, 4))(means, quats, scales, opac,
+                                            colors)
+    g_p = jax.grad(_loss_fn(rasterize_pallas, interpret=True, bins=bins),
+                   argnums=(0, 1, 2, 3, 4))(means, quats, scales, opac,
+                                            colors)
+    for n, a, b in zip(["means", "quats", "scales", "opac", "colors"],
+                       g_f, g_p):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   err_msg=n)
+
+
+@pytest.mark.parametrize("mode", ["segsum", "cumsum", "take"])
+def test_planned_bwd_modes_agree(mode, monkeypatch):
+    """All three lowerings of the planned segment reduction are the same
+    math — their gradients must agree to float tolerance."""
+    import jax
+    from cut3r_slam_tpu.ops import gs_raster_pallas as gp
+    from cut3r_slam_tpu.ops.gs_raster import compute_bins, compute_bin_plan
+    means, quats, scales, opac, colors = _scene(50)
+    eg, em = compute_bins(means, quats, scales, opac, K4, CFG)
+    bins = (eg, em) + tuple(compute_bin_plan(eg, em, means.shape[0], CFG))
+    monkeypatch.setattr(gp, "_PLAN_BWD_MODE", mode)
+    g = jax.grad(_loss_fn(gp.rasterize_pallas, interpret=True, bins=bins),
+                 argnums=(0, 4))(means, quats, scales, opac, colors)
+    monkeypatch.undo()
+    g_ref = jax.grad(_loss_fn(gp.rasterize_pallas, interpret=True),
+                     argnums=(0, 4))(means, quats, scales, opac, colors)
+    for a, b in zip(g_ref, g):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5)
+
+
+def test_multi_view_planned_bins_parity():
+    """Fused multi-view render with stacked per-view cached plans vs the
+    same render with fresh binning (the window optimizer's per-segment
+    path, slam/mapping.py _bin_window)."""
+    import jax
+    from cut3r_slam_tpu.ops.gs_raster import compute_bins, compute_bin_plan
+    from cut3r_slam_tpu.ops.gs_raster_pallas import rasterize_pallas_multi
+    means, quats, scales, opac, colors = _scene(60)
+    V = 3
+    offs = jnp.asarray(np.stack([RNG.uniform(-0.05, 0.05, 3)
+                                 for _ in range(V)]), jnp.float32)
+    mc = means[None] + offs[:, None, :]
+    qc = jnp.tile(quats[None], (V, 1, 1))
+
+    def one_bins(m, q):
+        eg, em = compute_bins(m, q, scales, opac, K4, CFG)
+        return (eg, em) + tuple(compute_bin_plan(eg, em, m.shape[0], CFG))
+
+    bins = jax.lax.map(lambda xs: one_bins(*xs), (mc, qc))
+
+    out_f = rasterize_pallas_multi(mc, qc, scales, opac, colors, K4, CFG,
+                                   interpret=True)
+    out_p = rasterize_pallas_multi(mc, qc, scales, opac, colors, K4, CFG,
+                                   interpret=True, bins=bins)
+    for k in ("color", "alpha", "depth", "mdepth", "normal"):
+        np.testing.assert_allclose(np.asarray(out_p[k]),
+                                   np.asarray(out_f[k]), atol=1e-5,
+                                   err_msg=k)
+
+    def loss(fn_bins):
+        def f(m, s, o, c):
+            out = rasterize_pallas_multi(m, qc, s, o, c, K4, CFG,
+                                         interpret=True, bins=fn_bins)
+            return out["color"].mean() + out["depth"].mean()
+        return f
+
+    g_f = jax.grad(loss(None), argnums=(0, 1, 2, 3))(mc, scales, opac,
+                                                     colors)
+    g_p = jax.grad(loss(bins), argnums=(0, 1, 2, 3))(mc, scales, opac,
+                                                     colors)
+    for n, a, b in zip(["means", "scales", "opac", "colors"], g_f, g_p):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   err_msg=n)
