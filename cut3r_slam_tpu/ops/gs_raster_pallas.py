@@ -786,7 +786,8 @@ def _image_maps(Opx, dsum, mdep, T, bg, K4, cfg: RasterizeConfig):
 
 def _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales, opacities,
                                  colors, K4, cfg: RasterizeConfig, bg,
-                                 interpret: bool, bins=None):
+                                 interpret: bool, bins=None,
+                                 means2d_probe=None):
     """Fused V-view render: ONE Pallas blend (and ONE backward) over the
     concatenated V * n_tiles tile rows.
 
@@ -809,6 +810,8 @@ def _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales, opacities,
 
     pre = jax.vmap(lambda m, q: _preprocess(m, q, scales, opacities, K4,
                                             cfg))(means_cam, quats_wxyz)
+    if means2d_probe is not None:  # (V, P, 2) viewspace grad probes
+        pre["mean2d"] = pre["mean2d"] + means2d_probe
     K = cfg.max_per_tile
     plan = None
     if bins is None:
@@ -898,11 +901,16 @@ def _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales, opacities,
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def rasterize_pallas_multi(means_cam, quats_wxyz, scales, opacities,
                            colors, K4, cfg: RasterizeConfig, bg=None,
-                           interpret: bool = False, bins=None):
+                           interpret: bool = False, bins=None,
+                           means2d_probe=None):
     """Differentiable fused multi-view render (see impl docstring).
     ``bins``: optional stacked (V, n_tiles, K) binning from a lax.map of
     compute_bins (slam/mapping.py _bin_window) — reused across an
-    optimization segment like the single-view path."""
+    optimization segment like the single-view path. ``means2d_probe``:
+    optional (V, P, 2) zeros whose cotangent is each view's viewspace
+    positional gradient (densification stats, like the single-view
+    probe)."""
     return _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales,
                                         opacities, colors, K4, cfg, bg,
-                                        interpret, bins=bins)
+                                        interpret, bins=bins,
+                                        means2d_probe=means2d_probe)

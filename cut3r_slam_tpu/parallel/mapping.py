@@ -85,7 +85,11 @@ def make_parallel_gba_batch(backend, mesh, axis: str = "mv"):
         return losses, gp_sum, ga_c, den_c, mr_c, gpes, w2cs
 
     def gba_batch(params, alive, images_u8, depths, w2c_all, expa_all,
-                  expb_all, vi_batch):
+                  expb_all, vi_batch, bins=None):
+        # ``bins`` (the single-chip fused path's cached block binning) is
+        # not sharded here: each device re-bins its local views fresh —
+        # same slack contract as compute_bins, marginally fresher entries
+        del bins
         fn = shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis)),

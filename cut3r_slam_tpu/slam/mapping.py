@@ -83,6 +83,16 @@ class MappingConfig:
     # for batch parallelism — under a mesh with an `mv` axis the views
     # of an iteration are sharded across devices (parallel/mapping.py).
     gba_views_per_iter: int = 1
+    # iterations between view RESAMPLING in global BA: each block of
+    # iterations keeps its gba_views_per_iter random views and reuses
+    # one cached tile binning (+ pack-backward plan) across the block —
+    # the binning sort is the dominant per-render fixed cost on TPU and
+    # random per-iteration views can never amortize it. 1 = resample
+    # every iteration (the reference's semantics,
+    # gs_backend_per_frame.py:1005); >1 trades sampling granularity for
+    # binning reuse (poses move < a pixel per block at the mapping LRs,
+    # the same slack argument as compute_bins' segment reuse).
+    gba_resample_every: int = 1
     # batch the pose refinement of a submap's new keyframes into one
     # program (vmapped single-view problems; sharded over `mv` under a
     # mesh). False = the reference's sequential chain, where each new
@@ -306,7 +316,98 @@ class MappingBackend:
                 lambda xs: pose_refine(params, alive, *xs),
                 (images, depth_gts, w2cs))
 
-        self._pose_refine_batch = jax.jit(pose_refine_batch)
+        # fused variant (Pallas backend): each iteration renders ALL the
+        # batch's views through ONE blend kernel + ONE backward with
+        # per-view pose deltas (render_window) instead of lax.map'ing B
+        # independent 50-iteration programs — the per-render fixed costs
+        # (kernel ramp-up, pack-gradient reduction) amortize B-fold. The
+        # problems stay independent: the loss is a SUM of per-view terms
+        # and Adam on the stacked deltas is elementwise, so the math
+        # equals the lax.map path (tests/test_mapping.py::
+        # test_pose_refine_batch_fused_parity).
+        def _pose_view_terms(img, d, a, image, depth_gt, dt, dr):
+            amask = jax.lax.stop_gradient(a > alpha_th)
+            ratio = amask.mean()
+            rgb_l = jnp.abs((image - img) * amask[..., None]).sum() \
+                / jnp.maximum(amask.sum() * 3, 1.0)
+            dmask = amask & (depth_gt > 1e-3) & (d > 1e-3)
+            diff = jnp.where(dmask, jnp.log(jnp.maximum(d, 1e-6))
+                             - jnp.log(jnp.maximum(depth_gt, 1e-6)), 0.0)
+            n = jnp.maximum(dmask.sum(), 1.0)
+            mean = diff.sum() / n
+            var = (diff * diff).sum() / n - mean * mean
+            pose_l = (dr ** 2).sum() + (dt ** 2).sum()
+            return 5 * ratio * rgb_l + ratio * var \
+                + 0.05 * (2 - ratio) * pose_l
+
+        def pose_refine_batch_fused(params, alive, images, depth_gts,
+                                    w2cs):
+            B = images.shape[0]
+            deltas = {"t": jnp.zeros((B, 3)), "r": jnp.zeros((B, 3))}
+            lrs = {"t": cfg.pose_lr * 10, "r": cfg.pose_lr * 2}
+            adam = _adam_init(deltas)
+            seg = max(1, min(cfg.opt_segment, cfg.pose_refine_iters))
+            n_seg = -(-cfg.pose_refine_iters // seg)
+
+            def loss_fn(deltas, bins):
+                outs = render_window(params, alive, w2cs, K4, rcfg,
+                                     trans_deltas=deltas["t"],
+                                     rot_deltas=deltas["r"], bins=bins)
+                losses = jax.vmap(_pose_view_terms)(
+                    outs["color"], outs["depth"], outs["alpha"],
+                    images, depth_gts, deltas["t"], deltas["r"])
+                return losses.sum()
+
+            def step(carry, _):
+                deltas, adam, bins = carry
+                g = jax.grad(loss_fn)(deltas, bins)
+                deltas, adam = _adam_step(deltas, g, adam, lrs)
+                return (deltas, adam, bins), None
+
+            def seg_body(carry, _):
+                deltas, adam = carry
+                bins = jax.lax.map(
+                    lambda xs: bin_view(params, alive, xs[0], K4, rcfg,
+                                        trans_delta=xs[1], rot_delta=xs[2]),
+                    (w2cs, deltas["t"], deltas["r"]))
+                (deltas, adam, _), _ = jax.lax.scan(
+                    step, (deltas, adam, bins), None, length=seg)
+                return (deltas, adam), None
+
+            (deltas, _), _ = jax.lax.scan(seg_body, (deltas, adam), None,
+                                          length=n_seg)
+            new_w2c = jnp.einsum(
+                "vij,vjk->vik",
+                jax.vmap(se3_delta_to_matrix)(deltas["t"], deltas["r"]),
+                w2cs)
+
+            # return-args pass: ONE fused forward render of the batch
+            outs = render_window(params, alive, new_w2c, K4, rcfg)
+
+            def finish(a, d, depth_gt, w2c):
+                amask = (a > alpha_th) & (depth_gt > 1e-3) & (d > 1e-3)
+                ratio = (a > alpha_th).mean()
+                diff = jnp.where(amask, jnp.log(jnp.maximum(d, 1e-6))
+                                 - jnp.log(jnp.maximum(depth_gt, 1e-6)),
+                                 0.0)
+                scale = jnp.exp(diff.sum() / jnp.maximum(amask.sum(), 1.0))
+                scale = jnp.where(ratio > 0.3,
+                                  jnp.clip(scale, 0.95, 1.05), 1.0)
+                gt_scaled = scale * depth_gt
+                valid = (a <= alpha_th) & (depth_gt > 1e-3)
+                c2w = jnp.linalg.inv(w2c)
+                pointmap = depth_to_pointmap(gt_scaled, K4, c2w=c2w)
+                return gt_scaled, pointmap, valid
+
+            gt_scaled, pointmaps, valids = jax.vmap(finish)(
+                outs["alpha"], outs["depth"], depth_gts, new_w2c)
+            return new_w2c, gt_scaled, pointmaps, valids
+
+        if rcfg.use_pallas:
+            self._pose_refine_batch = jax.jit(pose_refine_batch_fused)
+        else:
+            self._pose_refine_batch = jax.jit(pose_refine_batch)
+        self._pose_refine_batch_seq = jax.jit(pose_refine_batch)
 
         # ------------------------- mapping window ----------------------
         # window_loss_raw: UNNORMALIZED weighted sum over however many
@@ -533,7 +634,7 @@ class MappingBackend:
             return loss, (out["radii"], vis)
 
         def gba_batch_grads(params, alive, images_u8, depths, w2c_all,
-                            expa_all, expb_all, vi_batch):
+                            expa_all, expb_all, vi_batch, bins=None):
             """Per-view losses/grads for a batch of view indices, with
             the Gaussian-space quantities already REDUCED over the batch
             (sum for grads/stats, max for radii) so the mesh-parallel
@@ -570,6 +671,76 @@ class MappingBackend:
 
         self._gba_batch = gba_batch_grads
 
+        # fused variant (Pallas): the batch's views render through ONE
+        # blend kernel + ONE backward (render_window with per-view pose
+        # deltas, exposures and probes) instead of a lax.map of k
+        # independent renders. Identical math: the total loss is the sum
+        # of the per-view gba_view_loss terms, so the Gaussian gradient
+        # IS gp_sum and each view's pose/exposure/probe gradient comes
+        # from its own term (tests/test_mapping.py::
+        # test_gba_batch_fused_parity). ``bins``: optional stacked
+        # cached binning for the batch (gba_resample_every blocks).
+        def gba_batch_fused(params, alive, images_u8, depths, w2c_all,
+                            expa_all, expb_all, vi_batch, bins=None):
+            images = images_u8[vi_batch].astype(jnp.float32) / 255.0
+            depth_gt = depths[vi_batch].astype(jnp.float32)
+            w2cs = w2c_all[vi_batch]
+            k = vi_batch.shape[0]
+            P = params["xyz"].shape[0]
+            pose_exp = {"t": jnp.zeros((k, 3)), "r": jnp.zeros((k, 3)),
+                        "a": expa_all[vi_batch], "b": expb_all[vi_batch]}
+            probe = jnp.zeros((k, P, 2))
+
+            def view_terms(color, d, rn, vis, image, ea, eb, gt_d):
+                img = color @ ea + eb
+                rgb_l = 0.8 * jnp.abs(image - img).mean() \
+                    + 0.2 * (1 - ssim(img, image))
+                dmask = jax.lax.stop_gradient((gt_d > 1e-3) & (d > 1e-3))
+                inv_d = jnp.where(dmask, 1.0 / jnp.maximum(d, 1e-6)
+                                  - 1.0 / jnp.maximum(gt_d, 1e-6), 0.0)
+                depth_l = jnp.abs(inv_d).sum() \
+                    / jnp.maximum(dmask.sum(), 1.0)
+                dn = depth_to_normal(d, K4)
+                gdn = depth_to_normal(gt_d, K4)
+                norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
+                    / jnp.maximum(dmask.sum(), 1.0)
+                rn_l = ((1 - (rn * gdn).sum(-1)) * dmask).sum() \
+                    / jnp.maximum(dmask.sum(), 1.0)
+                scales = jnp.exp(params["log_scales"])
+                iso = (jnp.abs(scales - scales.mean(1, keepdims=True)
+                               ).mean(1) * vis).sum() \
+                    / jnp.maximum(vis.sum(), 1.0)
+                return (rgb_l + cfg.lambda_depth / 10 * depth_l
+                        + cfg.lambda_normal * (norm_l + rn_l)
+                        + cfg.lambda_iso * iso)
+
+            def loss_fn(params, probe, pe):
+                outs = render_window(params, alive, w2cs, K4, rcfg,
+                                     trans_deltas=pe["t"],
+                                     rot_deltas=pe["r"], bins=bins,
+                                     means2d_probe=probe)
+                losses = jax.vmap(view_terms)(
+                    outs["color"], outs["depth"], outs["normal"],
+                    outs["visibility"], images, pe["a"], pe["b"],
+                    depth_gt)
+                return losses.sum(), (losses, outs["radii"],
+                                      outs["visibility"])
+
+            (_, (losses, radii, vis)), (gp, gprobe, gpe) = \
+                jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                   has_aux=True)(params, probe, pose_exp)
+            gp = _mask_grads(gp, alive)
+            gprobe = jnp.where(alive[None, :, None], gprobe, 0.0)
+            gnorm = jnp.sqrt(jnp.sum(gprobe * gprobe, -1) + 1e-24)
+            ga_c = jnp.where(vis, gnorm, 0.0)
+            mr_c = jnp.where(vis, radii, 0.0)
+            return (losses, gp, ga_c.sum(0),
+                    vis.astype(jnp.float32).sum(0), mr_c.max(0), gpe,
+                    w2cs)
+
+        if rcfg.use_pallas:
+            self._gba_batch = gba_batch_fused
+
         def gba_segment(arena: GaussianArena, adam, cams: CameraBuffer,
                         view_idx, rng):
             params = arena.params()
@@ -584,7 +755,9 @@ class MappingBackend:
             pv_state = (zero_pv, jax.tree.map(jnp.zeros_like, zero_pv),
                         jnp.zeros((C,), jnp.int32))
 
-            def one_iter(carry, vi_batch):
+            m_iters = max(1, cfg.gba_resample_every)
+
+            def one_iter(carry, _xs, vi_batch=None, bins=None):
                 (params, adam, stats, w2c_all, expa_all, expb_all,
                  pv_state) = carry
                 ga, gaa, den, mr = stats
@@ -592,7 +765,7 @@ class MappingBackend:
                 losses, gp_sum, ga_c, den_c, mr_c, gpes, w2cs = \
                     self._gba_batch(params, arena.alive, cams.image,
                                     cams.depth, w2c_all, expa_all,
-                                    expb_all, vi_batch)
+                                    expb_all, vi_batch, bins=bins)
 
                 gp = jax.tree.map(lambda g: g / k_batch, gp_sum)
                 params, adam = _adam_step(params, gp, adam, self._lrs())
@@ -636,10 +809,28 @@ class MappingBackend:
                 return (params, adam, (ga, gaa, den, mr), w2c_all,
                         expa_all, expb_all, pv_state), losses.mean()
 
+            def one_block(carry, vi_batch):
+                """One resampling block: bin the block's views ONCE at
+                the block-start poses (Pallas only), then m_iters
+                iterations against the cached binning."""
+                from functools import partial as _partial
+                if rcfg.use_pallas and m_iters > 1:
+                    (params_c, _, _, w2c_all, _, _, _) = carry
+                    bins = jax.lax.map(
+                        lambda vi: bin_view(params_c, arena.alive,
+                                            w2c_all[vi], K4, rcfg),
+                        vi_batch)
+                else:
+                    bins = None
+                carry, losses = jax.lax.scan(
+                    _partial(one_iter, vi_batch=vi_batch, bins=bins),
+                    carry, None, length=m_iters)
+                return carry, losses.mean()
+
             carry0 = (params, adam, stats, cams.w2c, cams.exposure_a,
                       cams.exposure_b, pv_state)
             (params, adam, stats, w2c_all, expa_all, expb_all, _), losses = \
-                jax.lax.scan(one_iter, carry0, view_idx)
+                jax.lax.scan(one_block, carry0, view_idx)
             arena = arena.with_params(params)
             arena = dataclasses.replace(
                 arena, grad_accum=stats[0], grad_accum_abs=stats[1],
@@ -847,12 +1038,15 @@ class MappingBackend:
             if k_batch > len(view_ids):
                 k_batch = 1
         seg = self.cfg.gba_segment
+        m = max(1, self.cfg.gba_resample_every)
         n_steps = max(1, (total_iters + k_batch - 1) // k_batch)
-        n_segs = max(1, (n_steps + seg - 1) // seg)
+        blocks_per_seg = max(1, seg // m)
+        n_blocks = max(1, (n_steps + m - 1) // m)
+        n_segs = max(1, (n_blocks + blocks_per_seg - 1) // blocks_per_seg)
         ids = jnp.asarray(view_ids, jnp.int32)
         for s in range(n_segs):
             self._rng, k1, k2 = jax.random.split(self._rng, 3)
-            keys = jax.random.split(k1, seg)
+            keys = jax.random.split(k1, blocks_per_seg)
             vi = jax.vmap(lambda kk: jax.random.choice(
                 kk, ids, shape=(k_batch,), replace=False))(keys)
             arena_b, adam_b = self._sliced(self._live_bucket())

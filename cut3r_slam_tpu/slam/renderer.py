@@ -85,7 +85,7 @@ def render_window(params: Dict[str, jax.Array], alive: jax.Array,
                   w2c_base: jax.Array, K4: jax.Array, cfg: RasterizeConfig,
                   trans_deltas: Optional[jax.Array] = None,
                   rot_deltas: Optional[jax.Array] = None,
-                  bins=None):
+                  bins=None, means2d_probe=None):
     """Render V views in ONE fused program (Pallas backend only).
 
     w2c_base (V, 4, 4); trans/rot_deltas (V, 3) optional per-view pose
@@ -111,6 +111,7 @@ def render_window(params: Dict[str, jax.Array], alive: jax.Array,
     return rasterize_pallas_multi(means_cam, quats_cam,
                                   jnp.exp(params["log_scales"]), opac,
                                   colors, K4, cfg, bins=bins,
+                                  means2d_probe=means2d_probe,
                                   interpret=cfg.interpret)
 
 

@@ -228,3 +228,84 @@ def test_window_loss_fused_parity():
             scale = np.abs(a).max() + 1e-6
             np.testing.assert_allclose(b / scale, a / scale, atol=2e-3,
                                        err_msg=f"{name} leaf {i}")
+
+
+def _build_two_view_state(backend_kind):
+    """Backend with a seeded arena + two stored keyframes (for the fused
+    batch parity tests)."""
+    img, depth = _make_scene()
+    pm = np.asarray(depth_to_pointmap(jnp.asarray(depth), jnp.asarray(K4)))
+    colors = img.astype(np.float32) / 255.0
+    cfg = MappingConfig(height=H, width=W, capacity=1024, cam_capacity=8,
+                        window_size=2, max_per_tile=256,
+                        pose_refine_iters=6, opt_segment=3,
+                        raster_backend=backend_kind,
+                        raster_interpret=(backend_kind == "pallas"))
+    be = MappingBackend(cfg, K4)
+    d2 = np.asarray(se3_matrix(se3_exp(jnp.asarray(
+        [0.01, -0.01, 0.02, 0.01, 0.0, -0.01]))))
+    be.add_keyframe(0, img, depth, np.eye(4, dtype=np.float32))
+    be.add_keyframe(1, img, depth, d2.astype(np.float32))
+    be.seed(0, pm[::2, ::2], colors[::2, ::2],
+            np.ones((H // 2, W // 2), bool), submap_idx=0)
+    return be, img, depth
+
+
+def test_gba_batch_fused_parity():
+    """The fused global-BA batch (ONE multi-view render + backward,
+    slam/mapping.py gba_batch_fused) must match the lax.map of
+    single-view renders on every output: per-view losses, summed
+    Gaussian grads, densification stats, pose/exposure grads."""
+    be_p, img, depth = _build_two_view_state("pallas")
+    be_x, _, _ = _build_two_view_state("xla")
+    vi = jnp.asarray([0, 1], jnp.int32)
+
+    outs = {}
+    for name, be in (("fused", be_p), ("seq", be_x)):
+        params = be.arena.params()
+        outs[name] = be._gba_batch(params, be.arena.alive, be.cams.image,
+                                   be.cams.depth, be.cams.w2c,
+                                   be.cams.exposure_a, be.cams.exposure_b,
+                                   vi)
+    names = ["losses", "gp_sum", "ga_c", "den_c", "mr_c", "gpes", "w2cs"]
+    for nm, a, b in zip(names, outs["seq"], outs["fused"]):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            la, lb = np.asarray(la), np.asarray(lb)
+            scale = np.abs(la).max() + 1e-6
+            np.testing.assert_allclose(lb / scale, la / scale, atol=2e-3,
+                                       err_msg=nm)
+
+
+def test_gba_block_resampling_runs():
+    """gba_resample_every > 1 (cached block binning) must run end-to-end
+    and keep the arena finite; view-render accounting stays ~total."""
+    be, img, depth = _build_two_view_state("pallas")
+    be.cfg = dataclasses.replace(be.cfg, gba_views_per_iter=2,
+                                 gba_resample_every=2)
+    be.global_ba(8, densify=False)
+    alive = np.asarray(be.arena.alive)
+    assert np.all(np.isfinite(np.asarray(be.arena.xyz)[alive]))
+
+
+def test_pose_refine_batch_fused_parity():
+    """Fused batched pose refinement (per-iteration multi-view render,
+    slam/mapping.py pose_refine_batch_fused) vs the lax.map of
+    independent single-view refinements — identical problems, so poses,
+    scaled depths, pointmaps and validity must agree."""
+    be, img, depth = _build_two_view_state("pallas")
+    params = be.arena.params()
+    images = be.cams.image[jnp.asarray([0, 1])].astype(jnp.float32) / 255.0
+    depth_gts = be.cams.depth[jnp.asarray([0, 1])].astype(jnp.float32)
+    w2cs = be.cams.w2c[jnp.asarray([0, 1])]
+
+    out_f = be._pose_refine_batch(params, be.arena.alive, images,
+                                  depth_gts, w2cs)
+    out_s = be._pose_refine_batch_seq(params, be.arena.alive, images,
+                                      depth_gts, w2cs)
+    names = ["w2c", "gt_scaled", "pointmaps", "valids"]
+    for nm, a, b in zip(names, out_s, out_f):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3,
+                                   err_msg=nm)
