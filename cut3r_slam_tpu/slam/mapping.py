@@ -176,6 +176,7 @@ class MappingBackend:
         self.cams = CameraBuffer.empty(cfg.cam_capacity, cfg.height, cfg.width)
         self.current_window: List[int] = []
         self.initialized = False
+        self.timer = None  # optional utils.profiling.StageTimer
         self._rng = jax.random.PRNGKey(0)
         self._build_jits()
         if mesh is not None and dict(mesh.shape).get("mv", 1) > 1:
@@ -892,6 +893,25 @@ class MappingBackend:
     # ==================================================================
     # host orchestration
     # ==================================================================
+    def _tm(self, stage: str):
+        """Stage-timing context for run()'s sub-phases: device-synced on
+        exit (tiny host readbacks — the axon tunnel ignores
+        block_until_ready) so the bench breakdown attributes a mapping
+        event's wall time to the phase that actually spent it. No-op
+        without a timer."""
+        import contextlib
+        if self.timer is None:
+            return contextlib.nullcontext()
+        outer = self
+
+        @contextlib.contextmanager
+        def cm():
+            with outer.timer(stage):
+                yield
+                _ = np.asarray(outer.arena.xyz[0, 0])
+                _ = np.asarray(outer.cams.w2c[0, 0, 0])
+        return cm()
+
     def reset_state(self):
         """Fresh arena/cams/optimizer state, SAME jitted closures —
         lets a benchmark (or a second sequence) rerun the exact compiled
@@ -936,12 +956,25 @@ class MappingBackend:
 
     def optimization(self, iters: int, window: List[int],
                      optimize_pose: bool = True):
+        loss = 0.0
+        for loss in self.optimization_steps(iters, window, optimize_pose):
+            pass
+        return loss
+
+    def optimization_steps(self, iters: int, window: List[int],
+                           optimize_pose: bool = True):
         """Segmented so every call shares ONE compiled program per
         optimize_pose variant (single-core XLA compiles are the
         bottleneck on this box). Pose/exposure Adam moments thread
         across the segments, matching the reference's per-call horizon
         (gs_backend_per_frame.py:477); the Gaussian Adam state persists
-        across calls exactly as the reference's optimizer does."""
+        across calls exactly as the reference's optimizer does.
+
+        GENERATOR: yields the running loss after each compiled segment —
+        one bounded slice of device work — so the interleaved-mapping
+        scheduler (SLAMSystem, Mapping.interleave) can spread an
+        optimization across tracking frames. ``optimization()`` drains
+        it in one go (the reference's stop-the-world behavior)."""
         if len(window) == 1:
             # V=1 specialization: a 10x cheaper program than rendering
             # the padded window with zero weights (same math — padded
@@ -961,7 +994,8 @@ class MappingBackend:
         ex_adam = _adam_init({"a": jnp.zeros((V, 3, 3)),
                               "b": jnp.zeros((V, 3))})
         arena_b, adam_b = self._sliced(self._live_bucket())
-        for _ in range(max(1, (int(iters) + seg - 1) // seg)):
+        n_segs = max(1, (int(iters) + seg - 1) // seg)
+        for s in range(n_segs):
             params, adam_b, w2c, exposure, loss, pd_adam, ex_adam = \
                 opt_fn(arena_b, adam_b, self.cams, idx, wts,
                        seg, bool(optimize_pose), pd_adam, ex_adam)
@@ -979,8 +1013,13 @@ class MappingBackend:
                         exposure["a"][:n]),
                     exposure_b=self.cams.exposure_b.at[ki].set(
                         exposure["b"][:n]))
+            if s < n_segs - 1:
+                # arena writeback before EVERY yield: between slices the
+                # tracker may render/evaluate against self.arena
+                self._write_back(arena_b, adam_b)
+                yield float(loss)
         self._write_back(arena_b, adam_b)
-        return float(loss)
+        yield float(loss)
 
     def pose_refine(self, idx: int):
         """Refine one view's pose; returns (pointmap, valid) for seeding."""
@@ -1018,10 +1057,17 @@ class MappingBackend:
         return pointmaps[:, ::ds, ::ds], valids[:, ::ds, ::ds]
 
     def global_ba(self, total_iters: int, densify: bool = True):
+        for _ in self.global_ba_steps(total_iters, densify):
+            pass
+
+    def global_ba_steps(self, total_iters: int, densify: bool = True):
         """``total_iters`` counts VIEW RENDERS (the reference's iteration
         unit); with gba_views_per_iter = k > 1 each solver step consumes
         k of them, so the Gaussian Adam step count drops k-fold while
-        per-view pose/exposure updates stay per-render."""
+        per-view pose/exposure updates stay per-render.
+
+        GENERATOR yielding after each compiled segment (like
+        optimization_steps); global_ba() drains."""
         view_ids = [i for i in range(self.cfg.cam_capacity)
                     if bool(self.cams.valid[i])]
         if not view_ids or total_iters <= 0:
@@ -1070,6 +1116,7 @@ class MappingBackend:
                     return jnp.where(
                         dead.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x)
                 self.adam = (jax.tree.map(_mask, m), jax.tree.map(_mask, v), t)
+            yield s
 
     def gaussian_update(self, submap_ids, pose_updates, camera_idx,
                         camera_w2c):
@@ -1099,8 +1146,38 @@ class MappingBackend:
                 "c2w": np.stack(c2ws), "window": list(window)}
 
     # ------------------------------------------------------------------
+    def _timed_steps(self, stage: str, gen):
+        """Drive a sub-generator one slice at a time, timing each slice
+        under ``stage`` WITHOUT the timer spanning the yielded-out
+        period (the caller may run tracking frames between slices)."""
+        while True:
+            with self._tm(stage):
+                try:
+                    v = next(gen)
+                except StopIteration:
+                    return
+            yield v
+
     def run(self, packet: Dict, iterations: int = 100):
-        """Per-submap mapping update (gs_backend_per_frame.py:776-862)."""
+        """Per-submap mapping update, drained in one stop-the-world call
+        (the reference's behavior). See run_steps for the sliced form."""
+        gen = self.run_steps(packet, iterations)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as e:
+                return e.value
+
+    def run_steps(self, packet: Dict, iterations: int = 100):
+        """Per-submap mapping update (gs_backend_per_frame.py:776-862).
+
+        GENERATOR: yields after each bounded slice of device work (a KF
+        pose refinement, an optimization segment, a global-BA segment)
+        and RETURNS the data_update dict. SLAMSystem's interleaved
+        scheduler (Mapping.interleave > 0) steps a few slices per
+        tracking frame so one submap's mapping no longer stops the world
+        (the reference amortizes the same way by running the mapper in a
+        separate asynchronous process, hi2.py:56-99)."""
         viz_idx = list(packet["viz_idx"])
         imgs = packet["images"]          # (V, H, W, 3) uint8 mapping res
         depths = packet["depths"]        # (V, H, W) float
@@ -1136,28 +1213,42 @@ class MappingBackend:
                 init_w2c[i] = w2c
                 self.add_keyframe(idx, imgs[i], depths[i], w2c)
             new_idxs = [viz_idx[i] for i in new_pos]
-            pms, vals = self.pose_refine_multi(new_idxs)
-            for j, i in enumerate(new_pos):
-                idx = viz_idx[i]
-                rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
-                self.seed(idx, np.asarray(pms[j]), rgb_ds,
-                          np.asarray(vals[j]) > 0, submap_idx)
-                if len(self.current_window) < self.cfg.window_size:
-                    self.current_window = self.current_window + [idx]
-                else:
-                    self.current_window = self.current_window[1:] + [idx]
+            with self._tm("map_refine"):
+                pms, vals = self.pose_refine_multi(new_idxs)
+            yield "refine"
+            with self._tm("map_seed"):
+                for j, i in enumerate(new_pos):
+                    idx = viz_idx[i]
+                    rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
+                    self.seed(idx, np.asarray(pms[j]), rgb_ds,
+                              np.asarray(vals[j]) > 0, submap_idx)
+                    if len(self.current_window) < self.cfg.window_size:
+                        self.current_window = self.current_window + [idx]
+                    else:
+                        self.current_window = self.current_window[1:] + [idx]
+            yield "seed"
             # same per-KF iteration budget as the sequential loop
-            self.optimization(self.cfg.window_opt_iters * len(new_pos),
-                              self.current_window)
+            yield from self._timed_steps(
+                "map_window",
+                self.optimization_steps(
+                    self.cfg.window_opt_iters * len(new_pos),
+                    self.current_window))
             if self.cfg.new_view_opt_iters > 0:
                 # the sequential path polishes each new KF V=1 in turn;
                 # jointly the new KFs form one small window (same math:
                 # per-view losses are independent, optimize_pose=False)
-                self.optimization(self.cfg.new_view_opt_iters, new_idxs,
-                                  optimize_pose=False)
+                yield from self._timed_steps(
+                    "map_polish",
+                    self.optimization_steps(self.cfg.new_view_opt_iters,
+                                            new_idxs,
+                                            optimize_pose=False))
             n_views = int(np.sum(np.asarray(self.cams.valid)))
-            self.global_ba(self.cfg.gba_per_view * n_views, densify=True)
-            return self.data_update(self.current_window)
+            yield from self._timed_steps(
+                "map_gba",
+                self.global_ba_steps(self.cfg.gba_per_view * n_views,
+                                     densify=True))
+            with self._tm("map_update"):
+                return self.data_update(self.current_window)
 
         for i, idx in enumerate(viz_idx):
             if bool(self.cams.valid[idx]):
@@ -1172,30 +1263,46 @@ class MappingBackend:
 
             if not self.initialized:
                 rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
-                self.seed(idx, pointmaps[i], rgb_ds, confs[i] > 0.0,
-                          submap_idx)
+                with self._tm("map_seed"):
+                    self.seed(idx, pointmaps[i], rgb_ds, confs[i] > 0.0,
+                              submap_idx)
                 self.current_window = [idx]
-                self.optimization(iterations, self.current_window)
+                yield from self._timed_steps(
+                    "map_window",
+                    self.optimization_steps(iterations,
+                                            self.current_window))
                 self.initialized = True
             else:
                 if len(self.current_window) < self.cfg.window_size:
                     self.current_window = self.current_window + [idx]
                 else:
                     self.current_window = self.current_window[1:] + [idx]
-                pointmap, valid = self.pose_refine(idx)
+                with self._tm("map_refine"):
+                    pointmap, valid = self.pose_refine(idx)
+                yield "refine"
                 rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
-                self.seed(idx, np.asarray(pointmap), rgb_ds,
-                          np.asarray(valid) > 0, submap_idx)
-                self.optimization(self.cfg.window_opt_iters,
-                                  self.current_window)
+                with self._tm("map_seed"):
+                    self.seed(idx, np.asarray(pointmap), rgb_ds,
+                              np.asarray(valid) > 0, submap_idx)
+                yield from self._timed_steps(
+                    "map_window",
+                    self.optimization_steps(self.cfg.window_opt_iters,
+                                            self.current_window))
                 if self.cfg.new_view_opt_iters > 0:
-                    self.optimization(self.cfg.new_view_opt_iters,
-                                      [self.current_window[-1]],
-                                      optimize_pose=False)
+                    yield from self._timed_steps(
+                        "map_polish",
+                        self.optimization_steps(
+                            self.cfg.new_view_opt_iters,
+                            [self.current_window[-1]],
+                            optimize_pose=False))
 
         n_views = int(np.sum(np.asarray(self.cams.valid)))
-        self.global_ba(self.cfg.gba_per_view * n_views, densify=True)
-        return self.data_update(self.current_window)
+        yield from self._timed_steps(
+            "map_gba",
+            self.global_ba_steps(self.cfg.gba_per_view * n_views,
+                                 densify=True))
+        with self._tm("map_update"):
+            return self.data_update(self.current_window)
 
     def finalize(self, iters: int = 2000):
         self.global_ba(iters, densify=True)

@@ -13,8 +13,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.gs_raster import (RasterizeConfig, rasterize, compute_bins,
-                             compute_bin_plan)
+from ..ops.gs_raster import RasterizeConfig, rasterize, compute_bins
 from ..geometry.quaternion import (matrix_to_quat, xyzw_to_wxyz)
 from .camera import se3_delta_to_matrix
 from .gaussian_map import SH2RGB
@@ -129,10 +128,11 @@ def bin_view(params: Dict[str, jax.Array], alive: jax.Array,
     opac = jax.nn.sigmoid(params["opacity_logit"]) * alive.astype(jnp.float32)
     means_cam, quats_cam, scales, opac = jax.lax.stop_gradient(
         (means_cam, quats_cam, jnp.exp(params["log_scales"]), opac))
-    eg, em = compute_bins(means_cam, quats_cam, scales, opac, K4, cfg)
-    if not cfg.use_pallas:
-        return eg, em
-    # Pallas: also hoist the pack-backward segment-reduction plan + the
-    # occupancy order to bin time (gs_raster.compute_bin_plan) — the
-    # renders of the segment then skip the per-step scatter index sort
-    return (eg, em) + compute_bin_plan(eg, em, params["xyz"].shape[0], cfg)
+    # NOTE: compute_bin_plan (the bin-time segment-reduction plan for the
+    # pack backward) is NOT used here: on a v5 chip the planned path
+    # measured 71.7 ms e2e fwd+bwd vs 21.3 ms for XLA's own scatter-add
+    # lowering (scripts/profile_raster_stages.py, 2026-08-20) — the
+    # standalone permutation gather + segment sum loses to the fused
+    # in-graph scatter by 3x. Kept (with interpret-mode parity tests)
+    # for hardware where the trade flips.
+    return compute_bins(means_cam, quats_cam, scales, opac, K4, cfg)

@@ -32,12 +32,23 @@ from cut3r_slam_tpu.ops.gs_raster import (  # noqa: E402
 from cut3r_slam_tpu.ops import gs_raster_pallas as gp  # noqa: E402
 
 
+def _sync(out):
+    """Device sync via a 1-element host readback — the axon tunnel does
+    NOT honor block_until_ready (measured: chained-dependency timings
+    are ~1000x the block_until_ready ones for small ops), so every
+    timing loop must end in an actual readback. The device executes its
+    queue serially, so syncing the last result syncs the whole loop."""
+    leaf = jax.tree.leaves(out)[0]
+    _ = np.asarray(leaf.ravel()[0])
+
+
 def timed(fn, *args, iters=10):
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    _sync(out)  # compile + drain
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e3, out
 
 
@@ -168,7 +179,7 @@ def main():
     # ---- end-to-end differentiable render, cached bins (the mapping
     # optimizer's steady-state path) --------------------------------------
     from cut3r_slam_tpu.ops.gs_raster_pallas import rasterize_pallas
-    from cut3r_slam_tpu.ops.gs_raster import compute_bins
+    from cut3r_slam_tpu.ops.gs_raster import compute_bins, compute_bin_plan
 
     bins = jax.block_until_ready(jax.jit(
         lambda m, q, s, o: compute_bins(m, q, s, o, K4, cfg)
@@ -192,6 +203,37 @@ def main():
     ms, _ = timed(e2e_bwd, means, quats, scales, opac, colors)
     print(f"e2e_f+b  : {ms:8.3f} ms  (cached bins, grad means+colors)",
           flush=True)
+
+    # ---- planned bins (round-5): bin-time segment-reduction plan
+    # replaces the per-step scatter index sort in the pack backward ------
+    import cut3r_slam_tpu.ops.gs_raster_pallas as _gp
+
+    plan_t = jax.block_until_ready(jax.jit(
+        lambda eg, em: compute_bin_plan(eg, em, N, cfg))(*bins))
+    binsP = tuple(bins) + tuple(plan_t)
+
+    @jax.jit
+    def plan_ms(eg, em):
+        return compute_bin_plan(eg, em, N, cfg)
+
+    ms, _ = timed(plan_ms, *bins)
+    print(f"bin_plan : {ms:8.3f} ms  (one-time per segment)", flush=True)
+
+    for mode in ("segsum", "cumsum", "take"):
+        _gp._PLAN_BWD_MODE = mode
+
+        @jax.jit
+        def e2e_bwd_plan(m, q, s, o, c):
+            return jax.grad(
+                lambda mm, cc: rasterize_pallas(
+                    mm, q, s, o, cc, K4, cfg,
+                    bins=binsP)["color"].mean(),
+                argnums=(0, 1))(m, c)
+
+        ms, _ = timed(e2e_bwd_plan, means, quats, scales, opac, colors)
+        print(f"e2e_f+b  : {ms:8.3f} ms  (PLANNED bins, {mode})",
+              flush=True)
+    _gp._PLAN_BWD_MODE = "segsum"
 
 
 if __name__ == "__main__":

@@ -309,3 +309,56 @@ def test_pose_refine_batch_fused_parity():
         scale = np.abs(a).max() + 1e-6
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-3,
                                    err_msg=nm)
+
+
+def test_run_steps_interleaved_equals_drained():
+    """run_steps (the interleaved-mapping slices, VERDICT r4 #5) drained
+    slice-by-slice must produce EXACTLY the state of the stop-the-world
+    run(): same RNG stream, same segment schedule, just yields between
+    device slices."""
+    img, depth = _make_scene()
+    pm = np.asarray(depth_to_pointmap(jnp.asarray(depth), jnp.asarray(K4)))
+
+    def build():
+        cfg = MappingConfig(height=H, width=W, capacity=2048,
+                            cam_capacity=8, window_size=3,
+                            pose_refine_iters=4, opt_segment=2,
+                            window_opt_iters=4, new_view_opt_iters=2,
+                            gba_per_view=2, gba_segment=4,
+                            max_per_tile=256)
+        return MappingBackend(cfg, K4)
+
+    d2 = np.asarray(se3_matrix(se3_exp(jnp.asarray(
+        [0.01, -0.01, 0.02, 0.01, 0.0, -0.01]))), np.float32)
+    ds = 2
+    packet = {
+        "viz_idx": [0, 1],
+        "images": np.stack([img, img]),
+        "depths": np.stack([depth, depth]),
+        "pointmaps": np.stack([pm[::ds, ::ds]] * 2),
+        "confs": np.ones((2, H // ds, W // ds), np.float32),
+        "w2c": np.stack([np.eye(4, dtype=np.float32), d2]),
+        "submap_idx": 0, "tstamp": np.asarray([0, 1]),
+    }
+
+    be_a = build()
+    upd_a = be_a.run(dict(packet), iterations=4)
+
+    be_b = build()
+    gen = be_b.run_steps(dict(packet), iterations=4)
+    n_slices = 0
+    while True:
+        try:
+            next(gen)
+            n_slices += 1
+        except StopIteration as e:
+            upd_b = e.value
+            break
+    assert n_slices >= 4, n_slices  # actually sliced, not one blob
+
+    np.testing.assert_array_equal(np.asarray(be_a.arena.xyz),
+                                  np.asarray(be_b.arena.xyz))
+    np.testing.assert_array_equal(np.asarray(be_a.cams.w2c),
+                                  np.asarray(be_b.cams.w2c))
+    np.testing.assert_array_equal(upd_a["depths"], upd_b["depths"])
+    np.testing.assert_array_equal(upd_a["c2w"], upd_b["c2w"])
