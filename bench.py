@@ -217,9 +217,15 @@ def main():
         # (50/20/50/10-per-view); only the program structure changes —
         # quality guards: tests/test_mapping.py fused parity +
         # tests/test_e2e_gt_loop.py absolute gates.
+        # interleave=2: at most 2 mapping slices run per tracking frame
+        # (VERDICT r4 #5 — bounds max_frame_s); total mapping work is
+        # unchanged (backlog drains before the next event / at pass end),
+        # so the amortized headline is identical to the stop-the-world
+        # schedule.
         cfg["Mapping"].update(parallel_kf_refine=True,
                               gba_views_per_iter=4,
-                              gba_resample_every=4)
+                              gba_resample_every=4,
+                              interleave=2)
     if not on_tpu:
         # CPU smoke: one 10-iter optimize segment per mapping stage — the
         # full reference counts (20/50/10·n) cost ~160 s PER SEGMENT on
@@ -263,6 +269,13 @@ def main():
         note(f"warm frame {t}")
         _, warm_viz = slam.run(t, frames[t], K4)
         sync()
+        # "mapped" = a full event's programs have compiled: under
+        # interleaving that is only true once the event's backlog has
+        # drained (slices span several frames), so drain it here — the
+        # warm pass exists to compile, not to schedule
+        if warm_viz is not None:
+            slam.drain_mapper()
+            sync()
         mapped_warm = mapped_warm or warm_viz is not None
         warm_t.append(time.perf_counter() - t0)
         n_warm = t + 1
@@ -285,22 +298,37 @@ def main():
     frame_t = []
     track_t = []
     map_t = []
+    n_events_done = 0
     for t in range(n_warm):
-        # cut-early rule: once a mapping event has been TIMED the number
-        # is already honest — stop while budget remains. Before the
-        # first event, keep going regardless (the per-frame re-emit
-        # below protects against an external kill; a timed pass without
-        # a mapping event would be tracking-only, the round-4 failure).
-        if t > 2 and map_t and remaining() < 30:
+        # cut-early rule: once a mapping EVENT has fully completed inside
+        # the timed pass (started AND backlog drained) the number is
+        # honest — stop while budget remains. Before that, keep going
+        # regardless (the per-frame re-emit below protects against an
+        # external kill; a timed pass without a mapping event would be
+        # tracking-only, the round-4 failure).
+        if t > 2 and n_events_done > 0 and remaining() < 30:
             result["breakdown"]["timed_cut_at_frame"] = t
             break
         t0 = time.perf_counter()
         note(f"timed frame {t}")
+        gen_before = slam._map_gen is not None
         _, viz_range = slam.run(t, frames[t], K4)
+        gen_after = slam._map_gen is not None
         sync()
         dt = time.perf_counter() - t0
         frame_t.append(dt)
-        (map_t if viz_range is not None else track_t).append(dt)
+        # classify by ACTUAL mapping work this frame (interleaved slices
+        # run on frames where viz_range is None)
+        did_map = getattr(slam, "frame_map_slices", 0) > 0 \
+            or viz_range is not None
+        (map_t if did_map else track_t).append(dt)
+        # a mapping event COMPLETED this frame if a pending interleaved
+        # event drained (gen_before -> gone, or drained by the next
+        # event's arrival) or a stop-the-world event ran to completion
+        if viz_range is not None and gen_before:
+            n_events_done += 1          # previous backlog force-drained
+        if (viz_range is not None or gen_before) and not gen_after:
+            n_events_done += 1          # this/pending event finished
         if len(frame_t) >= 3:
             fps = len(frame_t) / sum(frame_t)
             result["value"] = round(fps, 3)
@@ -310,14 +338,35 @@ def main():
             result["steady_state"] = True
             result["mapping_included"] = len(map_t) > 0
             bd = result["breakdown"]
-            bd["n_mapping_events"] = len(map_t)
+            bd["n_mapping_events"] = n_events_done
+            bd["n_mapping_frames"] = len(map_t)
             bd["max_frame_s"] = round(float(np.max(frame_t)), 2)
             if map_t:
-                bd["mapping_event_s_mean"] = round(float(np.mean(map_t)), 2)
+                bd["mapping_frame_s_mean"] = round(float(np.mean(map_t)), 3)
             if track_t:
                 bd["fps_tracking_only"] = round(
                     1.0 / float(np.median(track_t)), 2)
             emit(result)
+
+    # terminal drain: any interleaved backlog belongs to the timed
+    # sequence — fold its cost into the total so the amortized number
+    # covers ALL mapping work the frames generated
+    if slam._map_gen is not None and frame_t:
+        t0 = time.perf_counter()
+        note("terminal drain of interleaved mapping backlog")
+        slam.drain_mapper()
+        sync()
+        drain_s = time.perf_counter() - t0
+        frame_t[-1] += drain_s
+        if map_t:
+            map_t[-1] += drain_s
+        n_events_done += 1
+        fps = len(frame_t) / sum(frame_t)
+        result["value"] = round(fps, 3)
+        result["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+        result["mapping_included"] = True
+        result["breakdown"]["n_mapping_events"] = n_events_done
+        emit(result)
 
     stage = timer.summary()
     result["breakdown"].update(

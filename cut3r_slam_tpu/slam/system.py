@@ -113,6 +113,7 @@ class SLAMSystem:
         # same property).
         self.map_interleave = int(mcfg.get("interleave", 0))
         self._map_gen = None
+        self.frame_map_slices = 0
         self.map_hw = map_hw
         self.output_dir = output_dir
         self.mapping_iters = mcfg.get("iterations", 100)
@@ -259,6 +260,11 @@ class SLAMSystem:
             second_last: bool = False, last: bool = False):
         """Per-frame step (hi2.py:101-135)."""
         self.last_t = t
+        # bench/telemetry: mapping work units executed during THIS frame
+        # (a whole drained event counts its slices too) — lets the bench
+        # classify frames by actual mapping work under interleaving,
+        # where viz_range is None on frames that still run map slices
+        self.frame_map_slices = 0
         if self.keep_all_frames:
             # full-frame host store for terminate-time densification and
             # trajectory filling (hi2.py:103 self.images dict)
@@ -326,6 +332,7 @@ class SLAMSystem:
                 sigma_t=sigma_t, sigma_r=sigma_r)
         self._gt_store[int(t)] = (np.asarray(depth_gt, np.float32),
                                   np.asarray(c2w_gt, np.float32))
+        self.frame_map_slices = 0
         if self.keep_all_frames:
             self.images[t] = img_map if img_map is not None else img
         pose_vec = np.asarray(se3_from_matrix(
@@ -393,6 +400,8 @@ class SLAMSystem:
             self.step_mapper(self.map_interleave)
         else:
             upd = self.mapper.run(packet, self.mapping_iters)
+            self.frame_map_slices = getattr(
+                self, "frame_map_slices", 0) + 1
             self._apply_map_update(upd)
 
     def _apply_map_update(self, upd):
@@ -416,6 +425,8 @@ class SLAMSystem:
                 return
             try:
                 next(self._map_gen)
+                self.frame_map_slices = getattr(
+                    self, "frame_map_slices", 0) + 1
             except StopIteration as e:
                 self._map_gen = None
                 self._apply_map_update(e.value)
