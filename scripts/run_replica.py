@@ -45,6 +45,18 @@ def main():
         if os.path.exists(rj):
             res.update(json.load(open(rj)))
 
+        # TSDF mesh from the rendered keyframes (reference runs
+        # tsdf_integrate per sequence after the demo)
+        mesh = os.path.join(out, "mesh.ply")
+        if not os.path.exists(mesh) and os.path.isdir(
+                os.path.join(out, "renders_kf")):
+            cmd = [sys.executable, os.path.join(root, "tsdf_integrate.py"),
+                   "--rundir", out]
+            print("+", " ".join(cmd))
+            subprocess.run(cmd, check=True)
+        if os.path.exists(mesh):
+            res["mesh_ply"] = mesh
+
         # ATE vs GT trajectory
         gt_file = os.path.join(args.datadir, seq, "traj.txt")
         if os.path.exists(gt_file) and os.path.exists(traj):

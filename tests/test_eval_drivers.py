@@ -1,0 +1,81 @@
+"""Eval drivers exercised END-TO-END on a synthetic Replica-layout
+dataset (VERDICT r4 #7).
+
+The reference's `scripts/run_replica.py` runs the demo per sequence and
+then computes ATE / render metrics / a TSDF mesh
+(/root/reference/scripts/run_replica.py:27-57). No Replica download or
+checkpoint exists in this environment, so the sequence comes from the
+procedural ray-cast scene written in the exact Replica layout
+(datasets/synth_replica.py) and the demo runs `--tiny-model` (random
+init). The assertions are about the PIPELINE: every artifact the
+reference driver produces must exist and be well-formed — trajectory,
+result.json with render metrics, ATE in summary.json, mesh.ply.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier (subprocess compiles)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth_replica(tmp_path_factory):
+    from cut3r_slam_tpu.datasets.synth_replica import write_replica_sequence
+    root = tmp_path_factory.mktemp("synth_replica")
+    write_replica_sequence(str(root), seq="synth0", n_frames=24, seed=0)
+    return str(root)
+
+
+def test_preprocess_replica_validates_layout(synth_replica):
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts/preprocess_replica.py"),
+         "--datadir", synth_replica],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "synth0: OK (24 frames)" in out.stdout, out.stdout
+
+
+def test_run_replica_driver_end_to_end(synth_replica, tmp_path):
+    """Full driver chain: demo -> traj/result.json -> ATE -> TSDF mesh,
+    the artifact set of /root/reference/scripts/run_replica.py:29-57."""
+    outdir = str(tmp_path / "replica_out")
+    cmd = [sys.executable, os.path.join(ROOT, "scripts/run_replica.py"),
+           "--datadir", synth_replica, "--output", outdir,
+           "--sequences", "synth0",
+           "--extra", "--tiny-model", "--cpu", "--target_width", "64",
+           "--buffer", "32", "--arena_capacity", "8192",
+           "--kf_every", "2", "--finalize_iters", "50"]
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR=os.path.join(ROOT, ".jax_cache"))
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=3000, env=env)
+    assert out.returncode == 0, out.stderr[-4000:]
+
+    seq_out = os.path.join(outdir, "synth0")
+    # trajectory + per-run result (demo artifacts)
+    traj = np.loadtxt(os.path.join(seq_out, "traj_kf.txt"))
+    assert traj.ndim == 2 and traj.shape[1] == 8 and len(traj) >= 5
+    assert np.isfinite(traj).all()
+    result = json.load(open(os.path.join(seq_out, "result.json")))
+    assert result["keyframes"] >= 5
+    assert np.isfinite(result["psnr_kf"])
+    # keyframe render eval JSON (eval_utils.py:107-162 counterpart)
+    kf_json = os.path.join(seq_out, "psnr", "final",
+                           "final_result_kf.json")
+    kf_res = json.load(open(kf_json))
+    assert kf_res["n_views"] >= 5
+    assert np.isfinite(kf_res["mean_psnr"])
+    # driver summary: ATE against the synthetic GT trajectory
+    summary = json.load(open(os.path.join(outdir, "summary.json")))
+    assert "ate_rmse_m" in summary["synth0"], summary
+    assert np.isfinite(summary["synth0"]["ate_rmse_m"])
+    # TSDF mesh from the rendered keyframes
+    mesh = os.path.join(seq_out, "mesh.ply")
+    assert os.path.exists(mesh)
+    assert os.path.getsize(mesh) > 1000, "mesh.ply is degenerate"
