@@ -18,14 +18,22 @@ def ssim(img1: jax.Array, img2: jax.Array, window: int = 11,
     """img*: (H, W, C) in [0,1]. Returns mean SSIM (matches torch impl with
     same-padding and per-channel windows)."""
     g = _gaussian_kernel(window, sigma)
-    k2d = jnp.outer(g, g)  # (11, 11)
 
     def blur(x):
-        # depthwise 2D convolution with same padding
+        # SEPARABLE depthwise blur: the 2D window is outer(g, g), so two
+        # 1-D passes are mathematically identical to the 11x11 conv at
+        # 2*W instead of W^2 taps — depthwise convs run on the TPU VPU,
+        # where the 5.5x tap reduction is real time (the mapping loss
+        # calls this every optimizer iteration, fwd AND bwd)
         C = x.shape[-1]
-        kern = jnp.tile(k2d[:, :, None, None], (1, 1, 1, C))  # HWIO grouped
+        kh = jnp.tile(g[:, None, None, None], (1, 1, 1, C))   # (W,1,1,C)
+        kw = jnp.tile(g[None, :, None, None], (1, 1, 1, C))   # (1,W,1,C)
+        y = jax.lax.conv_general_dilated(
+            x[None], kh, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
         return jax.lax.conv_general_dilated(
-            x[None], kern, window_strides=(1, 1), padding="SAME",
+            y, kw, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C)[0]
 

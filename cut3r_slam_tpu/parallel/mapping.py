@@ -85,11 +85,12 @@ def make_parallel_gba_batch(backend, mesh, axis: str = "mv"):
         return losses, gp_sum, ga_c, den_c, mr_c, gpes, w2cs
 
     def gba_batch(params, alive, images_u8, depths, w2c_all, expa_all,
-                  expb_all, vi_batch, bins=None):
-        # ``bins`` (the single-chip fused path's cached block binning) is
-        # not sharded here: each device re-bins its local views fresh —
-        # same slack contract as compute_bins, marginally fresher entries
-        del bins
+                  expb_all, vi_batch, bins=None, gt_normals=None):
+        # ``bins``/``gt_normals`` (the single-chip fused path's cached
+        # block binning + hoisted gt normals) are not sharded here: each
+        # device re-derives its local views' fresh — same slack contract
+        # as compute_bins, marginally fresher entries
+        del bins, gt_normals
         fn = shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis)),
@@ -180,6 +181,10 @@ def make_parallel_optimize(backend, mesh, axis: str = "mv"):
         # one binning per local view per segment (see slam/mapping.py) —
         # shard-local: each device bins only its own window shard
         bins = backend._bin_window(params, alive, w2c)
+        # gt normals are segment-invariant: hoisted out of the scan
+        from ..geometry.pointmap import depth_to_normal
+        gdns = jax.lax.map(lambda d: depth_to_normal(d, backend.K4),
+                           depths_gt)
 
         def step(carry, _):
             (params, adam, pose_deltas, pd_adam, exposure, ex_adam,
@@ -187,7 +192,7 @@ def make_parallel_optimize(backend, mesh, axis: str = "mv"):
             (tot, _aux), grads = jax.value_and_grad(
                 wl_raw, argnums=(0, 1, 2), has_aux=True)(
                 params, pose_deltas, exposure, alive, images,
-                depths_gt, w2c, weights, optimize_pose, bins)
+                depths_gt, w2c, weights, optimize_pose, bins, gdns)
             gp, gd, ge = grads
             wsum = jnp.maximum(jax.lax.psum(weights.sum(), axis), 1.0)
             loss = jax.lax.psum(tot, axis) / wsum

@@ -415,9 +415,13 @@ class MappingBackend:
         # views the passed arrays hold (full window sequentially, or one
         # device's shard under parallel/mapping.make_parallel_optimize —
         # the view count comes from images.shape[0], not the config).
-        def _view_terms(out, image, expo_a, expo_b, gt_d):
+        def _view_terms(out, image, expo_a, expo_b, gt_d, gdn=None):
             """Per-view loss terms from rendered maps (shared by the
-            fused multi-view path — vmapped — and the sequential scan)."""
+            fused multi-view path — vmapped — and the sequential scan).
+            ``gdn``: optional PRECOMPUTED depth_to_normal(gt_d) — the gt
+            normal map is loop-invariant across an optimization segment's
+            iterations, so callers hoist it out of the scan (XLA does not
+            move the large op out of the scan body itself)."""
             img = out["color"]
             if cfg.compensate_exposure:
                 img = img @ expo_a + expo_b
@@ -429,7 +433,8 @@ class MappingBackend:
                               - 1.0 / jnp.maximum(gt_d, 1e-6), 0.0)
             depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
             dn = depth_to_normal(d, K4)
-            gdn = depth_to_normal(gt_d, K4)
+            if gdn is None:
+                gdn = depth_to_normal(gt_d, K4)
             norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
                 / jnp.maximum(dmask.sum(), 1.0)
             return rgb_l, depth_l, norm_l
@@ -441,7 +446,7 @@ class MappingBackend:
 
         def window_loss_fused(params, pose_deltas, exposure, alive, images,
                               depths_gt, w2c_base, weights, optimize_pose,
-                              bins=None):
+                              bins=None, gt_normals=None):
             """Fused multi-view variant: ONE Pallas blend fwd (+ ONE bwd)
             renders the whole window per iteration instead of a scan of
             V single-view renders — the per-render fixed costs (kernel
@@ -458,10 +463,14 @@ class MappingBackend:
             outs = render_window(params, alive, w2c_base, K4, rcfg,
                                  trans_deltas=tds, rot_deltas=rds,
                                  bins=bins)
+            if gt_normals is None:
+                gt_normals = jax.lax.map(
+                    lambda d: depth_to_normal(d, K4), depths_gt)
             rgb_l, depth_l, norm_l = jax.vmap(
-                lambda o, im, ea, eb, gd: _view_terms(o, im, ea, eb, gd))(
+                lambda o, im, ea, eb, gd, gn: _view_terms(
+                    o, im, ea, eb, gd, gdn=gn))(
                 {k: outs[k] for k in ("color", "depth")}, images,
-                exposure["a"], exposure["b"], depths_gt)
+                exposure["a"], exposure["b"], depths_gt, gt_normals)
             iso = jax.vmap(lambda v: _iso_term(params, v))(
                 outs["visibility"])
             losses = (rgb_l + cfg.lambda_depth * depth_l
@@ -471,12 +480,12 @@ class MappingBackend:
 
         def window_loss_raw(params, pose_deltas, exposure, alive, images,
                             depths_gt, w2c_base, weights, optimize_pose,
-                            bins=None):
+                            bins=None, gt_normals=None):
             if rcfg.use_pallas and cfg.fused_window_render:
                 return window_loss_fused(params, pose_deltas, exposure,
                                          alive, images, depths_gt,
                                          w2c_base, weights, optimize_pose,
-                                         bins=bins)
+                                         bins=bins, gt_normals=gt_normals)
 
             def per_view(i):
                 td = pose_deltas["t"][i] if optimize_pose else jnp.zeros(3)
@@ -489,7 +498,8 @@ class MappingBackend:
                                   means2d_probe=probe, bins=vbins)
                 rgb_l, depth_l, norm_l = _view_terms(
                     out, images[i], exposure["a"][i], exposure["b"][i],
-                    depths_gt[i])
+                    depths_gt[i],
+                    gdn=None if gt_normals is None else gt_normals[i])
                 vis = out["visibility"]
                 iso = _iso_term(params, vis)
                 loss = (rgb_l + cfg.lambda_depth * depth_l
@@ -510,11 +520,11 @@ class MappingBackend:
 
         def window_loss(params, pose_deltas, exposure, alive, images,
                         depths_gt, w2c_base, weights, optimize_pose,
-                        bins=None):
+                        bins=None, gt_normals=None):
             total, aux = window_loss_raw(params, pose_deltas, exposure,
                                          alive, images, depths_gt,
                                          w2c_base, weights, optimize_pose,
-                                         bins=bins)
+                                         bins=bins, gt_normals=gt_normals)
             return total / jnp.maximum(weights.sum(), 1.0), aux
 
         # exposed for parallel/mapping.make_parallel_optimize
@@ -555,13 +565,16 @@ class MappingBackend:
             # remat region as saved residuals, not recomputed values.
             bins = jax.lax.map(
                 lambda w: bin_view(params, arena.alive, w, K4, rcfg), w2c)
+            # gt normal maps are constant across the whole segment —
+            # computed once here instead of inside every scan iteration
+            gdns = jax.lax.map(lambda d: depth_to_normal(d, K4), depths_gt)
 
             def step(carry, _):
                 params, adam, pose_deltas, pd_adam, exposure, ex_adam, w2c = carry
                 (loss, _aux), grads = jax.value_and_grad(
                     window_loss, argnums=(0, 1, 2), has_aux=True)(
                     params, pose_deltas, exposure, arena.alive, images,
-                    depths_gt, w2c, weights, optimize_pose, bins)
+                    depths_gt, w2c, weights, optimize_pose, bins, gdns)
                 gp, gd, ge = grads
                 gp = _mask_grads(gp, arena.alive)
                 params, adam = _adam_step(params, gp, adam, self._lrs())
@@ -605,7 +618,8 @@ class MappingBackend:
         # loop. The per-view pass lives in self._gba_batch so a device
         # mesh can shard the batch axis (parallel/mapping.make_parallel_
         # gba_batch: lax.map here -> shard_map + psum there).
-        def gba_view_loss(params, alive, probe, pe, image, depth_gt, w2c):
+        def gba_view_loss(params, alive, probe, pe, image, depth_gt, w2c,
+                          gdn=None):
             out = render_view(params, alive, w2c, K4, rcfg,
                               trans_delta=pe["t"], rot_delta=pe["r"],
                               means2d_probe=probe)
@@ -618,7 +632,8 @@ class MappingBackend:
                               - 1.0 / jnp.maximum(depth_gt, 1e-6), 0.0)
             depth_l = jnp.abs(inv_d).sum() / jnp.maximum(dmask.sum(), 1.0)
             dn = depth_to_normal(d, K4)
-            gdn = depth_to_normal(depth_gt, K4)
+            if gdn is None:
+                gdn = depth_to_normal(depth_gt, K4)
             norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
                 / jnp.maximum(dmask.sum(), 1.0)
             rn = out["normal"]
@@ -635,15 +650,19 @@ class MappingBackend:
             return loss, (out["radii"], vis)
 
         def gba_batch_grads(params, alive, images_u8, depths, w2c_all,
-                            expa_all, expb_all, vi_batch, bins=None):
+                            expa_all, expb_all, vi_batch, bins=None,
+                            gt_normals=None):
             """Per-view losses/grads for a batch of view indices, with
             the Gaussian-space quantities already REDUCED over the batch
             (sum for grads/stats, max for radii) so the mesh-parallel
             override only has to psum them. Returns
             (losses (k,), gp_sum tree, ga_c (P,), den_c (P,), mr_c (P,),
-             gpes (k, ...) tree, w2cs (k, 4, 4))."""
+             gpes (k, ...) tree, w2cs (k, 4, 4)). ``gt_normals``:
+            optional (k, H, W, 3) precomputed gt normal maps (hoisted per
+            resampling block — loop-invariant across its iterations)."""
 
-            def one(vi):
+            def one(xs):
+                vi, gdn = xs
                 image = images_u8[vi].astype(jnp.float32) / 255.0
                 depth_gt = depths[vi].astype(jnp.float32)
                 w2c = w2c_all[vi]
@@ -652,7 +671,8 @@ class MappingBackend:
                 probe = jnp.zeros((params["xyz"].shape[0], 2))
                 (loss, (radii, vis)), (gp, gprobe, gpe) = jax.value_and_grad(
                     gba_view_loss, argnums=(0, 2, 3), has_aux=True)(
-                    params, alive, probe, pose_exp, image, depth_gt, w2c)
+                    params, alive, probe, pose_exp, image, depth_gt, w2c,
+                    gdn)
                 gp = _mask_grads(gp, alive)
                 gprobe = jnp.where(alive[:, None], gprobe, 0.0)
                 # densification stats (gaussian_model.py:779-783); the
@@ -664,8 +684,12 @@ class MappingBackend:
                 mr_c = jnp.where(vis, radii, 0.0)
                 return loss, gp, ga_c, vis.astype(jnp.float32), mr_c, gpe, w2c
 
+            if gt_normals is None:
+                gt_normals = jax.lax.map(
+                    lambda vi: depth_to_normal(
+                        depths[vi].astype(jnp.float32), K4), vi_batch)
             losses, gps, ga_cs, viss, mr_cs, gpes, w2cs = \
-                jax.lax.map(one, vi_batch)
+                jax.lax.map(one, (vi_batch, gt_normals))
             gp_sum = jax.tree.map(lambda g: g.sum(0), gps)
             return (losses, gp_sum, ga_cs.sum(0), viss.sum(0),
                     mr_cs.max(0), gpes, w2cs)
@@ -682,9 +706,13 @@ class MappingBackend:
         # test_gba_batch_fused_parity). ``bins``: optional stacked
         # cached binning for the batch (gba_resample_every blocks).
         def gba_batch_fused(params, alive, images_u8, depths, w2c_all,
-                            expa_all, expb_all, vi_batch, bins=None):
+                            expa_all, expb_all, vi_batch, bins=None,
+                            gt_normals=None):
             images = images_u8[vi_batch].astype(jnp.float32) / 255.0
             depth_gt = depths[vi_batch].astype(jnp.float32)
+            if gt_normals is None:
+                gt_normals = jax.lax.map(
+                    lambda d: depth_to_normal(d, K4), depth_gt)
             w2cs = w2c_all[vi_batch]
             k = vi_batch.shape[0]
             P = params["xyz"].shape[0]
@@ -692,7 +720,7 @@ class MappingBackend:
                         "a": expa_all[vi_batch], "b": expb_all[vi_batch]}
             probe = jnp.zeros((k, P, 2))
 
-            def view_terms(color, d, rn, vis, image, ea, eb, gt_d):
+            def view_terms(color, d, rn, vis, image, ea, eb, gt_d, gdn):
                 img = color @ ea + eb
                 rgb_l = 0.8 * jnp.abs(image - img).mean() \
                     + 0.2 * (1 - ssim(img, image))
@@ -702,7 +730,6 @@ class MappingBackend:
                 depth_l = jnp.abs(inv_d).sum() \
                     / jnp.maximum(dmask.sum(), 1.0)
                 dn = depth_to_normal(d, K4)
-                gdn = depth_to_normal(gt_d, K4)
                 norm_l = ((1 - (dn * gdn).sum(-1)) * dmask).sum() \
                     / jnp.maximum(dmask.sum(), 1.0)
                 rn_l = ((1 - (rn * gdn).sum(-1)) * dmask).sum() \
@@ -723,7 +750,7 @@ class MappingBackend:
                 losses = jax.vmap(view_terms)(
                     outs["color"], outs["depth"], outs["normal"],
                     outs["visibility"], images, pe["a"], pe["b"],
-                    depth_gt)
+                    depth_gt, gt_normals)
                 return losses.sum(), (losses, outs["radii"],
                                       outs["visibility"])
 
@@ -758,7 +785,8 @@ class MappingBackend:
 
             m_iters = max(1, cfg.gba_resample_every)
 
-            def one_iter(carry, _xs, vi_batch=None, bins=None):
+            def one_iter(carry, _xs, vi_batch=None, bins=None,
+                         gt_normals=None):
                 (params, adam, stats, w2c_all, expa_all, expb_all,
                  pv_state) = carry
                 ga, gaa, den, mr = stats
@@ -766,7 +794,8 @@ class MappingBackend:
                 losses, gp_sum, ga_c, den_c, mr_c, gpes, w2cs = \
                     self._gba_batch(params, arena.alive, cams.image,
                                     cams.depth, w2c_all, expa_all,
-                                    expb_all, vi_batch, bins=bins)
+                                    expb_all, vi_batch, bins=bins,
+                                    gt_normals=gt_normals)
 
                 gp = jax.tree.map(lambda g: g / k_batch, gp_sum)
                 params, adam = _adam_step(params, gp, adam, self._lrs())
@@ -812,8 +841,9 @@ class MappingBackend:
 
             def one_block(carry, vi_batch):
                 """One resampling block: bin the block's views ONCE at
-                the block-start poses (Pallas only), then m_iters
-                iterations against the cached binning."""
+                the block-start poses (Pallas only) and hoist the
+                block-invariant gt normal maps, then m_iters iterations
+                against the cached binning."""
                 from functools import partial as _partial
                 if rcfg.use_pallas and m_iters > 1:
                     (params_c, _, _, w2c_all, _, _, _) = carry
@@ -823,8 +853,12 @@ class MappingBackend:
                         vi_batch)
                 else:
                     bins = None
+                gdns = jax.lax.map(
+                    lambda vi: depth_to_normal(
+                        cams.depth[vi].astype(jnp.float32), K4), vi_batch)
                 carry, losses = jax.lax.scan(
-                    _partial(one_iter, vi_batch=vi_batch, bins=bins),
+                    _partial(one_iter, vi_batch=vi_batch, bins=bins,
+                             gt_normals=gdns),
                     carry, None, length=m_iters)
                 return carry, losses.mean()
 

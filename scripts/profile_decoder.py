@@ -80,6 +80,14 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((2, 1, H, W, 3), jnp.float32))
+    if os.environ.get("PARAM_DTYPE", "") in ("bf16", "bfloat16"):
+        # store weights in bf16: batch-1 transformer inference is HBM
+        # weight-streaming bound, so halving the weight bytes targets the
+        # dominant traffic; compute stays in compute_dtype (bf16) with
+        # f32 layernorms, same as the f32-stored path after its casts
+        from cut3r_slam_tpu.models.convert import cast_params_bf16
+        params = cast_params_bf16(params)
+        print("params cast to bf16 storage", flush=True)
     p16 = cfg.patch_size
     n_tok = (H // p16) * (W // p16)
 

@@ -23,6 +23,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from cut3r_slam_tpu.slam.mapping import MappingBackend, MappingConfig
 from cut3r_slam_tpu.slam.gaussian_map import GaussianArena
 from cut3r_slam_tpu.geometry.lie import se3_exp, se3_matrix

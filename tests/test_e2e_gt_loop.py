@@ -139,6 +139,17 @@ class TestE2EGTLoop:
         ate_drift = _ate(slam_d, gt_d)
         assert ate_loop < ate_drift, (ate_loop, ate_drift)
 
+    def test_ate_absolute_gate(self, loop_run):
+        """VERDICT r4 #6: ABSOLUTE quality gate, not just relative —
+        a uniform regression that degrades loop and drift runs equally
+        must fail loudly. Threshold = recorded passing value (see
+        QUALITY_GATES.md) with ~2x headroom; the trajectory spans
+        ~0.23 m, so 25 mm ATE RMSE is ~11% of the path scale."""
+        slam, gt, _ = loop_run
+        ate = _ate(slam, gt)
+        print(f"[gate] loop ATE RMSE = {ate:.4f} m")
+        assert ate < 0.025, f"absolute ATE gate: {ate:.4f} >= 0.025 m"
+
     def test_seam_error_shrinks_at_closure(self, loop_run):
         slam, _, seam_log = loop_run
         assert len(seam_log) > 2
@@ -173,6 +184,22 @@ class TestE2EWithMapping:
         assert alive > 0, "mapping ran but no Gaussians are alive"
         xyz = np.asarray(mapper.arena.xyz)[np.asarray(mapper.arena.alive)]
         assert np.isfinite(xyz).all()
+
+    def test_mapping_psnr_absolute_gate(self, mapping_run):
+        """VERDICT r4 #6: absolute rendering-quality gate on the mapped
+        keyframes (threshold = recorded passing value with headroom,
+        QUALITY_GATES.md). Catches rasterizer/optimizer regressions that
+        keep the pipeline running but degrade the map."""
+        slam, _, _ = mapping_run
+        valid = np.asarray(slam.mapper.cams.valid)
+        idxs = [i for i in range(slam.keyframes.count) if valid[i]]
+        assert idxs, "no mapped keyframes"
+        psnrs = [slam.mapper.eval_view(i) for i in idxs]
+        mean_psnr = float(np.mean(psnrs))
+        print(f"[gate] mapped-KF mean PSNR = {mean_psnr:.2f} dB "
+              f"over {len(idxs)} views")
+        assert mean_psnr > 17.0, \
+            f"absolute PSNR gate: {mean_psnr:.2f} <= 17.0 dB"
 
     def test_loop_still_closes_with_mapping(self, mapping_run, drift_run):
         slam, gt, _ = mapping_run

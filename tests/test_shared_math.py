@@ -188,3 +188,38 @@ def test_weighted_align_point_maps_masks_low_conf():
     assert abs(float(sj) - s) < 1e-3
     np.testing.assert_allclose(np.asarray(Rj), R, atol=1e-3)
     np.testing.assert_allclose(np.asarray(tj), t, atol=1e-3)
+
+
+def test_loss_ssim_matches_torch_2d_window():
+    """ops/ssim.ssim (separable depthwise blur) vs the reference's
+    2-D-window conv SSIM (hislam2 loss_utils.py:25-167 semantics,
+    torch groups=C conv with zero 'SAME' padding). The separable form is
+    mathematically identical (outer(g, g) + linearity), so the
+    tolerance is float noise."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from cut3r_slam_tpu.ops.ssim import ssim, _gaussian_kernel
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (24, 31, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1).astype(np.float32)
+
+    g = np.asarray(_gaussian_kernel(11, 1.5))
+    k2d = np.outer(g, g).astype(np.float32)
+    w = torch.tensor(np.tile(k2d[None, None], (3, 1, 1, 1)))
+
+    def blur_t(x):
+        xt = torch.tensor(x.transpose(2, 0, 1)[None])
+        return F.conv2d(xt, w, padding=5, groups=3)[0].numpy() \
+            .transpose(1, 2, 0)
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu1, mu2 = blur_t(a), blur_t(b)
+    s1 = blur_t(a * a) - mu1 * mu1
+    s2 = blur_t(b * b) - mu2 * mu2
+    s12 = blur_t(a * b) - mu1 * mu2
+    ref = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+           / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))).mean()
+
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - float(ref)) < 1e-5, (got, float(ref))
