@@ -431,6 +431,36 @@ _gather_entries_planned.defvjp(_gather_entries_planned_fwd,
                                _gather_entries_planned_bwd)
 
 
+@jax.custom_vjp
+def _gather_mv(raw, eg):
+    """Batched per-view row gather raw (V, P, C)[(V, T, K)] -> (V, T, K, C)
+    with a SEQUENTIAL per-view scatter-add backward.
+
+    jax.vmap of the gather lowers its backward to ONE batched scatter-add,
+    which XLA lowers catastrophically on TPU: 319 ms at the V=10 bench
+    load vs 7.4 ms for a single view's scatter (scripts/
+    profile_mv_parts.py, 2026-08-21). A lax.map'd backward runs V
+    independent single-view scatters — the lowering the chip actually
+    handles — at ~V * single-view cost."""
+    return jax.vmap(lambda r, e: r[e])(raw, eg)
+
+
+def _gather_mv_fwd(raw, eg):
+    return _gather_mv(raw, eg), (eg, raw.shape)
+
+
+def _gather_mv_bwd(res, dG):
+    eg, shape = res
+    dRaw = jax.lax.map(
+        lambda xs: jnp.zeros(shape[1:], dG.dtype).at[
+            xs[0].reshape(-1)].add(xs[1].reshape(-1, dG.shape[-1])),
+        (eg, dG))
+    return dRaw, None
+
+
+_gather_mv.defvjp(_gather_mv_fwd, _gather_mv_bwd)
+
+
 def _build_raw(pre, colors):
     """(P, 16) per-Gaussian packed attribute rows — built ONCE per render
     so the per-entry pack needs a single row gather (and its backward a
@@ -869,7 +899,7 @@ def _rasterize_pallas_multi_impl(means_cam, quats_wxyz, scales, opacities,
         inv_order_v = jnp.argsort(order_v, axis=1)
         eg_s = jnp.take_along_axis(entry_gauss, order_v[:, :, None], 1)
         em_s = jnp.take_along_axis(entry_mask, order_v[:, :, None], 1)
-        G = jax.vmap(lambda r, eg: r[eg])(raw, eg_s)     # (V, nt, K, 16)
+        G = _gather_mv(raw, eg_s)                        # (V, nt, K, 16)
         mask_flat = em_s.reshape(V * nt, K)
         counts_flat = jnp.take_along_axis(counts, order_v, 1).reshape(-1)
         ox = jax.vmap(lambda o: ox1[o])(order_v).reshape(-1)
