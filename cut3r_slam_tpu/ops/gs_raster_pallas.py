@@ -75,7 +75,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gs_raster import (RasterizeConfig, TILE, ALPHA_MIN, T_MIN,
-                        MEDIAN_T_THRESH, NORMALIZE_EPS, _preprocess,
+                        NORMALIZE_EPS, median_gate, _preprocess,
                         _bin_gaussians, _untile)
 
 __all__ = ["rasterize_pallas_forward", "rasterize_pallas",
@@ -208,11 +208,11 @@ def _blend_fwd_kernel(cnt_ref, a_ref,
                                  precision=_PREC)
         dsum = dsum + jnp.sum(aT * t_all, axis=1, keepdims=True)
 
-        # median: LAST entry with Tb above the biased threshold that
+        # median: LAST entry with Tb above the quantized threshold that
         # contributes — masked max of iota (bm is NOT prefix-contiguous;
-        # see gs_raster.py note; threshold bias makes ties agree with
-        # the XLA backend, see MEDIAN_T_THRESH)
-        bm = (v["Tb"] > MEDIAN_T_THRESH) & (aT > 0.0)
+        # see gs_raster.py note; the fixed-point compare makes ties
+        # agree with the XLA backend, see gs_raster.median_gate)
+        bm = median_gate(v["Tb"]) & (aT > 0.0)
         iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
         idx = jnp.max(jnp.where(bm, iota, -1), axis=1, keepdims=True)
         has = idx >= 0
@@ -283,7 +283,7 @@ def _blend_bwd_kernel(cnt_ref, a_ref, tchk_ref, tlft_ref, bp_ref, bt_ref,
         dalpha = v["Tb"] * b - (S + gTT) / (1.0 - v["alpha"])
         # median contributor = globally LAST entry with bm; in reverse
         # order that is the masked-max hit of the FIRST chunk with any
-        bm = (v["Tb"] > MEDIAN_T_THRESH) & (v["aT"] > 0.0)
+        bm = median_gate(v["Tb"]) & (v["aT"] > 0.0)
         iota = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
         local_idx = jnp.max(jnp.where(bm, iota, -1), axis=1,
                             keepdims=True)
