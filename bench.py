@@ -222,10 +222,16 @@ def main():
         # unchanged (backlog drains before the next event / at pass end),
         # so the amortized headline is identical to the stop-the-world
         # schedule.
+        # opt_early_stop=0.01: stop a window/polish optimization's
+        # remaining compiled segments once a segment improves the loss
+        # < 1% — pure host control flow, no recompiles, bounded above by
+        # the reference iteration counts (quality guard:
+        # tests/test_e2e_gt_loop.py absolute ATE/PSNR gates)
         cfg["Mapping"].update(parallel_kf_refine=True,
                               gba_views_per_iter=4,
                               gba_resample_every=4,
-                              interleave=2)
+                              interleave=2,
+                              opt_early_stop=0.01)
     if not on_tpu:
         # CPU smoke: one 10-iter optimize segment per mapping stage — the
         # full reference counts (20/50/10·n) cost ~160 s PER SEGMENT on

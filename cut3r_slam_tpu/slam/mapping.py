@@ -76,6 +76,16 @@ class MappingConfig:
     new_view_opt_iters: int = 50  # single-view polish of the newest KF
     gba_per_view: int = 10        # global_BA iters = gba_per_view * n_views
     alpha_th: float = 0.5
+    # Host-side early stopping for the windowed optimization: after each
+    # compiled opt_segment, stop when the segment loss improved by less
+    # than this RELATIVE fraction (the loss plateaus fast on windows
+    # whose older views were already optimized in previous events —
+    # only the new KFs are fresh). 0.0 = off (the reference's fixed
+    # iteration counts, gs_backend_per_frame.py:776-862). Purely host
+    # control flow over the SAME compiled segments: no recompiles, and
+    # the segment losses it reads are already materialized at each
+    # generator yield.
+    opt_early_stop_rel: float = 0.0
     # global-BA batching: each solver iteration renders this many random
     # views and applies ONE Adam step on the MEAN Gaussian gradient
     # (poses/exposures update per-view). 1 = the reference's
@@ -1029,6 +1039,8 @@ class MappingBackend:
                               "b": jnp.zeros((V, 3))})
         arena_b, adam_b = self._sliced(self._live_bucket())
         n_segs = max(1, (int(iters) + seg - 1) // seg)
+        stop_rel = float(self.cfg.opt_early_stop_rel)
+        prev_loss = None
         for s in range(n_segs):
             params, adam_b, w2c, exposure, loss, pd_adam, ex_adam = \
                 opt_fn(arena_b, adam_b, self.cams, idx, wts,
@@ -1047,6 +1059,13 @@ class MappingBackend:
                         exposure["a"][:n]),
                     exposure_b=self.cams.exposure_b.at[ki].set(
                         exposure["b"][:n]))
+            if stop_rel > 0.0:
+                cur = float(loss)
+                if prev_loss is not None and \
+                        abs(prev_loss - cur) <= stop_rel * max(
+                            abs(prev_loss), 1e-12):
+                    break  # plateaued: remaining segments are no-ops
+                prev_loss = cur
             if s < n_segs - 1:
                 # arena writeback before EVERY yield: between slices the
                 # tracker may render/evaluate against self.arena

@@ -96,6 +96,7 @@ class SLAMSystem:
             gba_views_per_iter=int(mcfg.get("gba_views_per_iter", 1)),
             gba_resample_every=int(mcfg.get("gba_resample_every", 1)),
             parallel_kf_refine=bool(mcfg.get("parallel_kf_refine", False)),
+            opt_early_stop_rel=float(mcfg.get("opt_early_stop", 0.0)),
             pose_lr=trcfg.get("pose_lr", 0.0003))
         # view-parallel mapping: shard the window's renders over an
         # ``mv`` mesh axis (config Mapping.view_parallel = device count;

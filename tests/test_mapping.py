@@ -362,3 +362,25 @@ def test_run_steps_interleaved_equals_drained():
                                   np.asarray(be_b.cams.w2c))
     np.testing.assert_array_equal(upd_a["depths"], upd_b["depths"])
     np.testing.assert_array_equal(upd_a["c2w"], upd_b["c2w"])
+
+
+def test_opt_early_stop_plateau(backend):
+    """opt_early_stop_rel halts the windowed optimization's remaining
+    compiled segments once the segment loss plateaus (host control flow
+    on the SAME programs — the generator just yields fewer slices).
+    Off (0.0, default) runs the full fixed budget."""
+    be, img, depth = backend
+    n_full = sum(1 for _ in be.optimization_steps(50, [0],
+                                                  optimize_pose=False))
+    assert n_full == 5  # 50 iters / opt_segment=10
+
+    cfg_es = dataclasses.replace(be.cfg, opt_early_stop_rel=0.9)
+    be_es = MappingBackend(cfg_es, K4)
+    be_es.cams = be.cams
+    be_es.arena = be.arena
+    be_es.adam = be.adam
+    n_es = sum(1 for _ in be_es.optimization_steps(50, [0],
+                                                   optimize_pose=False))
+    # 90% relative improvement demanded per segment: an already-
+    # converged view plateaus immediately after the comparison baseline
+    assert n_es < n_full, (n_es, n_full)
