@@ -934,6 +934,16 @@ class MappingBackend:
 
         self._render_for_update = jax.jit(render_for_update)
 
+        # batched variant: ONE dispatch + ONE readback for a whole
+        # window — the per-view loop cost ~30 tunnel round trips
+        # (26 ms each measured) per mapping event (bench round-5)
+        def render_for_update_batch(arena: GaussianArena,
+                                    cams: CameraBuffer, kis):
+            return jax.lax.map(
+                lambda k: render_for_update(arena, cams, k), kis)
+
+        self._render_for_update_batch = jax.jit(render_for_update_batch)
+
     # ==================================================================
     # host orchestration
     # ==================================================================
@@ -1186,17 +1196,21 @@ class MappingBackend:
                 self.pose_refine(int(k))
 
     def data_update(self, window: List[int]):
-        """Return refined depths/pointmaps/poses for tracker writeback."""
-        depths, pointmaps, c2ws = [], [], []
+        """Return refined depths/pointmaps/poses for tracker writeback.
+
+        One padded batched render (pad with window[0] so every call at
+        any tail-window length shares the full-window program) and one
+        readback, instead of 3 readbacks per view."""
         arena_b = self.arena.slice_prefix(self._live_bucket())
-        for k in window:
-            d, p, c = self._render_for_update(arena_b, self.cams,
-                                              jnp.int32(k))
-            depths.append(np.asarray(d))
-            pointmaps.append(np.asarray(p))
-            c2ws.append(np.asarray(c))
-        return {"depths": np.stack(depths), "pointmaps": np.stack(pointmaps),
-                "c2w": np.stack(c2ws), "window": list(window)}
+        V = len(window)
+        W_SIZE = self.cfg.window_size
+        ki = np.asarray((list(window) + [window[0]] * W_SIZE)[:W_SIZE],
+                        np.int32)
+        d, p, c = self._render_for_update_batch(arena_b, self.cams,
+                                                jnp.asarray(ki))
+        d, p, c = np.asarray(d), np.asarray(p), np.asarray(c)
+        return {"depths": d[:V], "pointmaps": p[:V],
+                "c2w": c[:V], "window": list(window)}
 
     # ------------------------------------------------------------------
     def _timed_steps(self, stage: str, gen):
@@ -1270,11 +1284,15 @@ class MappingBackend:
                 pms, vals = self.pose_refine_multi(new_idxs)
             yield "refine"
             with self._tm("map_seed"):
+                # ONE readback for the whole batch's pointmaps/valids
+                # (per-view np.asarray paid a 26 ms tunnel RTT each)
+                pms_np = np.asarray(pms)
+                vals_np = np.asarray(vals)
                 for j, i in enumerate(new_pos):
                     idx = viz_idx[i]
                     rgb_ds = imgs[i][::ds, ::ds].astype(np.float32) / 255.0
-                    self.seed(idx, np.asarray(pms[j]), rgb_ds,
-                              np.asarray(vals[j]) > 0, submap_idx)
+                    self.seed(idx, pms_np[j], rgb_ds,
+                              vals_np[j] > 0, submap_idx)
                     if len(self.current_window) < self.cfg.window_size:
                         self.current_window = self.current_window + [idx]
                     else:

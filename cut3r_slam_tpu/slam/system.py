@@ -387,8 +387,11 @@ class SLAMSystem:
             else np.ones((len(idxs), mh // ds, mw // ds), np.float32)
         confs = np.stack([_resize_f(c, mw // ds, mh // ds) for c in confs])
         pts = np.stack([_resize_pts(p, mw // ds, mh // ds) for p in pts])
-        w2cs = np.stack([np.linalg.inv(np.asarray(pose_vec_to_matrix(
-            jnp.asarray(kf.pose[i])))) for i in idxs])
+        # host-side pose conversion: the per-KF device round trip cost a
+        # 26 ms tunnel RTT each (bench round-5 sync_rtt_ms)
+        from .frontend import pose_vec_to_matrix_np
+        w2cs = np.linalg.inv(pose_vec_to_matrix_np(
+            np.asarray(kf.pose[idxs], np.float32)))
 
         packet = {"viz_idx": idxs, "images": imgs, "depths": depths,
                   "pointmaps": pts, "confs": confs, "w2c": w2cs,
@@ -406,14 +409,19 @@ class SLAMSystem:
             self._apply_map_update(upd)
 
     def _apply_map_update(self, upd):
-        """Writeback refined poses/depths (hi2.py:84-91)."""
+        """Writeback refined poses/depths (hi2.py:84-91). Pose
+        conversion is host-side scipy — the per-KF device round trip
+        cost a tunnel RTT each (same fix as call_mapper)."""
         if upd is None:
             return
+        from scipy.spatial.transform import Rotation
         kf = self.keyframes
         for d, p, c2w, k in zip(upd["depths"], upd["pointmaps"],
                                 upd["c2w"], upd["window"]):
-            from ..geometry.lie import se3_from_matrix
-            kf.pose[k] = np.asarray(se3_from_matrix(jnp.asarray(c2w)))
+            q = Rotation.from_matrix(
+                np.asarray(c2w[:3, :3], np.float64)).as_quat()
+            kf.pose[k] = np.concatenate(
+                [np.asarray(c2w[:3, 3]), q]).astype(np.float32)
             th, tw = kf.img_hw
             kf.depth[k] = _resize_f(d, tw, th)
 
