@@ -936,11 +936,15 @@ class MappingBackend:
 
         # batched variant: ONE dispatch + ONE readback for a whole
         # window — the per-view loop cost ~30 tunnel round trips
-        # (26 ms each measured) per mapping event (bench round-5)
+        # (26 ms each measured) per mapping event (bench round-5).
+        # Pointmaps are NOT read back (23 MB/event over the tunnel);
+        # data_update recomputes them on host from depth + c2w, the
+        # identical unprojection (geometry/pointmap.depth_to_pointmap).
         def render_for_update_batch(arena: GaussianArena,
                                     cams: CameraBuffer, kis):
-            return jax.lax.map(
+            d, _, c = jax.lax.map(
                 lambda k: render_for_update(arena, cams, k), kis)
+            return d, c
 
         self._render_for_update_batch = jax.jit(render_for_update_batch)
 
@@ -1206,11 +1210,21 @@ class MappingBackend:
         W_SIZE = self.cfg.window_size
         ki = np.asarray((list(window) + [window[0]] * W_SIZE)[:W_SIZE],
                         np.int32)
-        d, p, c = self._render_for_update_batch(arena_b, self.cams,
-                                                jnp.asarray(ki))
-        d, p, c = np.asarray(d), np.asarray(p), np.asarray(c)
-        return {"depths": d[:V], "pointmaps": p[:V],
-                "c2w": c[:V], "window": list(window)}
+        d, c = self._render_for_update_batch(arena_b, self.cams,
+                                             jnp.asarray(ki))
+        d, c = np.asarray(d)[:V], np.asarray(c)[:V]
+        # host unprojection (same math as depth_to_pointmap with c2w)
+        fx, fy, cx, cy = np.asarray(self.K4)
+        gy, gx = np.meshgrid(np.arange(d.shape[1], dtype=np.float32),
+                             np.arange(d.shape[2], dtype=np.float32),
+                             indexing="ij")
+        X = (gx[None] - cx) / fx * d
+        Y = (gy[None] - cy) / fy * d
+        pts = np.stack([X, Y, d], axis=-1)
+        p = np.einsum("vij,vhwj->vhwi", c[:, :3, :3], pts) \
+            + c[:, None, None, :3, 3]
+        return {"depths": d, "pointmaps": p,
+                "c2w": c, "window": list(window)}
 
     # ------------------------------------------------------------------
     def _timed_steps(self, stage: str, gen):
