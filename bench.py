@@ -230,7 +230,7 @@ def main():
         cfg["Mapping"].update(parallel_kf_refine=True,
                               gba_views_per_iter=4,
                               gba_resample_every=4,
-                              interleave=2,
+                              interleave=3,
                               opt_early_stop=0.01)
     if not on_tpu:
         # CPU smoke: one 10-iter optimize segment per mapping stage — the
@@ -259,7 +259,7 @@ def main():
     # artifact, not SLAM cost — the timed pass syncs every SYNC_EVERY
     # frames instead and reports MEAN tracking time (exact over a sync
     # group; device executes serially so group time covers group work)
-    SYNC_EVERY = 4
+    SYNC_EVERY = 8
     sync()
     t0 = time.perf_counter()
     for _ in range(10):
