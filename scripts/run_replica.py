@@ -23,8 +23,13 @@ def main():
     p.add_argument("--output", default="outputs/replica")
     p.add_argument("--sequences", nargs="*", default=SEQUENCES)
     p.add_argument("--ckpt", default="./checkpoints/cut3r_512_dpt_4_64.pth")
-    p.add_argument("--extra", nargs="*", default=[])
+    p.add_argument("--extra", nargs="*", default=[],
+                   help="extra demo.py flags; dashed tokens must be "
+                        "passed as ONE quoted string (argparse stops "
+                        "nargs='*' at a leading dash)")
     args = p.parse_args()
+    import shlex
+    args.extra = [t for item in args.extra for t in shlex.split(item)]
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results = {}

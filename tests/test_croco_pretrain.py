@@ -8,9 +8,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from cut3r_slam_tpu.models.croco_pretrain import (
     CroCoConfig, CroCoPretrain, CroCoDownstreamBinocular,
     croco_pretrain_loss, laplacian_nll, patchify, unpatchify)
+
+pytestmark = pytest.mark.slow  # integration tier (VERDICT r4 #9: compile-heavy)
 
 
 CFG = CroCoConfig.tiny()

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (VERDICT r4 #9: compile-heavy)
+
 from cut3r_slam_tpu.models import CUT3R, CUT3RConfig
 from cut3r_slam_tpu.models.rope import apply_rope2d
 

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 from cut3r_slam_tpu.geometry.projective import projective_transform
 from cut3r_slam_tpu.geometry.lie import se3_exp
 from cut3r_slam_tpu.ops.ba import bundle_adjust
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier (VERDICT r4 #9: compile-heavy)
 
 HT, WD = 12, 16  # 1/8-resolution grid
 

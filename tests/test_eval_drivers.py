@@ -48,9 +48,9 @@ def test_run_replica_driver_end_to_end(synth_replica, tmp_path):
     cmd = [sys.executable, os.path.join(ROOT, "scripts/run_replica.py"),
            "--datadir", synth_replica, "--output", outdir,
            "--sequences", "synth0",
-           "--extra", "--tiny-model", "--cpu", "--target_width", "64",
-           "--buffer", "32", "--arena_capacity", "8192",
-           "--kf_every", "2", "--finalize_iters", "50"]
+           "--extra", ("--tiny-model --cpu --target_width 64 --buffer 32"
+                       " --arena_capacity 8192 --kf_every 2"
+                       " --finalize_iters 50")]
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR=os.path.join(ROOT, ".jax_cache"))
     out = subprocess.run(cmd, capture_output=True, text=True,

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (VERDICT r4 #9: compile-heavy)
+
 from cut3r_slam_tpu.models.cut3r import CUT3R, CUT3RConfig
 
 

@@ -19,6 +19,8 @@ import types
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # integration tier (VERDICT r4 #9: compile-heavy)
 import jax
 import jax.numpy as jnp
 

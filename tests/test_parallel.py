@@ -8,8 +8,9 @@ from cut3r_slam_tpu.parallel import make_mesh, shard_batch, fsdp_shard_params
 from cut3r_slam_tpu.parallel.inference import make_sharded_forward
 from cut3r_slam_tpu.models import CUT3R, CUT3RConfig
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,  # integration tier (VERDICT r4 #9)
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")]
 
 
 def test_mesh_shapes():

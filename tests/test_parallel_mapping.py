@@ -18,8 +18,9 @@ from cut3r_slam_tpu.parallel import make_mesh
 from cut3r_slam_tpu.slam.mapping import MappingBackend, MappingConfig
 from cut3r_slam_tpu.slam.gaussian_map import GaussianArena
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,  # integration tier (VERDICT r4 #9)
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")]
 
 H, W = 32, 48
 N_GAUSS = 256

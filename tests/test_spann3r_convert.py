@@ -17,8 +17,9 @@ import numpy as np
 import pytest
 
 REF = "/root/reference/src"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow,  # integration tier (VERDICT r4 #9)
+              pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")]
 
 H = W = 32
 ENC, ENCD, ENCH = 64, 2, 2

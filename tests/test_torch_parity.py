@@ -14,8 +14,9 @@ import numpy as np
 import pytest
 
 REF = "/root/reference/src"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow,  # integration tier (VERDICT r4 #9)
+              pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")]
 
 H, W, V, B = 32, 48, 3, 1
 

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (VERDICT r4 #9: compile-heavy)
+
 from cut3r_slam_tpu.models import CUT3R, CUT3RConfig
 from cut3r_slam_tpu.train import make_optimizer, make_train_step
 from cut3r_slam_tpu.train.train_step import make_tbptt_train_step
