@@ -25,6 +25,14 @@ _EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
 def list_images(imagedir: str):
     files = [f for f in sorted(os.listdir(imagedir))
              if f.lower().endswith(_EXTS)]
+    # Replica-style results dirs mix frame*.jpg with depth*.png in one
+    # folder: when color-frame-named files exist alongside others, the
+    # stream is the color frames only (the reference's loaders glob
+    # frame*/rgb* explicitly for the same reason)
+    frames = [f for f in files
+              if f.lower().startswith(("frame", "rgb", "color"))]
+    if frames and len(frames) < len(files):
+        files = frames
     return [os.path.join(imagedir, f) for f in files]
 
 
